@@ -37,7 +37,7 @@ def conv2d(
     """
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
+    w = w.astype(x.dtype)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
