@@ -1,0 +1,63 @@
+"""VGG19 perceptual loss (reference src/losses/perceptual.py:107-169).
+
+Functional: `init_perceptual(key, layers)` builds the frozen VGG params
+(or accepts converted torchvision weights), `perceptual_loss(params, ...)`
+computes the weighted L1/L2 feature distance. The VGG params ride through
+the jitted train step as ordinary (non-trainable) inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from facesr.models import vgg
+from facesr.losses.basic import l1_loss, l2_loss
+
+__all__ = ["init_perceptual", "perceptual_loss", "DEFAULT_LAYERS"]
+
+DEFAULT_LAYERS = ("conv3_4", "conv4_4")
+
+
+def init_perceptual(
+    key: jax.Array,
+    layers: Sequence[str] = DEFAULT_LAYERS,
+    pretrained_params: Optional[List[Dict[str, jax.Array]]] = None,
+) -> List[Dict[str, jax.Array]]:
+    """VGG19 conv params truncated to the deepest requested layer."""
+    max_idx = max(vgg.LAYER_MAP[l] for l in layers)
+    if pretrained_params is not None:
+        needed = vgg.num_convs_needed(max_idx)
+        return pretrained_params[:needed]
+    return vgg.init_vgg19(key, max_index=max_idx)
+
+
+def perceptual_loss(
+    vgg_params: List[Dict[str, jax.Array]],
+    pred: jax.Array,
+    target: jax.Array,
+    layers: Sequence[str] = DEFAULT_LAYERS,
+    weights: Optional[Dict[str, float]] = None,
+    criterion: str = "l1",
+    normalize: bool = True,
+) -> jax.Array:
+    """Weighted feature-matching distance over the named VGG layers.
+
+    pred/target: NHWC in [0, 1]. The target branch is wrapped in
+    stop_gradient (the reference's frozen extractor never backprops into
+    targets)."""
+    dist = l1_loss if criterion == "l1" else l2_loss
+    weights = weights or {l: 1.0 for l in layers}
+    idxs = [vgg.LAYER_MAP[l] for l in layers]
+
+    pred_feats = vgg.extract_features(vgg_params, pred, idxs, normalize=normalize)
+    target_feats = vgg.extract_features(
+        vgg_params, jax.lax.stop_gradient(target), idxs, normalize=normalize
+    )
+
+    loss = jnp.asarray(0.0, jnp.float32)
+    for name, idx in zip(layers, idxs):
+        loss = loss + weights.get(name, 1.0) * dist(pred_feats[idx], target_feats[idx])
+    return loss

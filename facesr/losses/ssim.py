@@ -1,0 +1,129 @@
+"""Differentiable SSIM / MS-SSIM for NHWC tensors.
+
+Numerics match the reference implementation
+(`/root/reference/src/losses/ssim_loss.py`): 11x11 gaussian window
+(sigma 1.5) applied as a depthwise convolution with SAME zero padding,
+K = (0.01, 0.03), variance via E[x^2] - E[x]^2 (biased), MS-SSIM with the
+standard 5 scale weights and 2x2 average-pool pyramid.
+
+On TPU the depthwise gaussian conv is expressed as a grouped
+`lax.conv_general_dilated` (feature_group_count = C); XLA lowers it to the
+VPU/MXU and fuses the elementwise SSIM algebra around it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facesr.ops import conv2d, avg_pool2
+
+__all__ = ["create_gaussian_window", "ssim", "ms_ssim", "ssim_loss", "ms_ssim_loss"]
+
+MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.lru_cache(maxsize=16)
+def create_gaussian_window(window_size: int, sigma: float, channels: int) -> np.ndarray:
+    """Depthwise gaussian kernel, HWIO [k, k, 1, C] (reference ssim_loss.py:14-41)."""
+    coords = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return np.tile(w2d[:, :, None, None], (1, 1, 1, channels))
+
+
+def _filter(x: jax.Array, window: jax.Array, pad: int, channels: int) -> jax.Array:
+    return conv2d(x, window, padding=pad, feature_group_count=channels)
+
+
+def ssim(
+    pred: jax.Array,
+    target: jax.Array,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+    size_average: bool = True,
+    K: Tuple[float, float] = (0.01, 0.03),
+) -> jax.Array:
+    """SSIM over NHWC images (reference ssim_loss.py:44-98)."""
+    channels = pred.shape[-1]
+    window = jnp.asarray(create_gaussian_window(window_size, sigma, channels))
+    pad = window_size // 2
+    c1 = (K[0] * data_range) ** 2
+    c2 = (K[1] * data_range) ** 2
+
+    mu_p = _filter(pred, window, pad, channels)
+    mu_t = _filter(target, window, pad, channels)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+
+    sigma_pp = _filter(pred * pred, window, pad, channels) - mu_pp
+    sigma_tt = _filter(target * target, window, pad, channels) - mu_tt
+    sigma_pt = _filter(pred * target, window, pad, channels) - mu_pt
+
+    num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)
+    den = (mu_pp + mu_tt + c1) * (sigma_pp + sigma_tt + c2)
+    ssim_map = num / den
+
+    if size_average:
+        return ssim_map.mean()
+    return ssim_map.mean(axis=(1, 2, 3))
+
+
+def ms_ssim(
+    pred: jax.Array,
+    target: jax.Array,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+    weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
+) -> jax.Array:
+    """Multi-scale SSIM (reference ssim_loss.py:101-171)."""
+    channels = pred.shape[-1]
+    window = jnp.asarray(create_gaussian_window(window_size, sigma, channels))
+    pad = window_size // 2
+    K = (0.01, 0.03)
+    c1 = (K[0] * data_range) ** 2
+    c2 = (K[1] * data_range) ** 2
+
+    levels = len(weights)
+    mcs = []
+    msssim_last = None
+    for i in range(levels):
+        mu_p = _filter(pred, window, pad, channels)
+        mu_t = _filter(target, window, pad, channels)
+        mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
+        sigma_pp = _filter(pred * pred, window, pad, channels) - mu_pp
+        sigma_tt = _filter(target * target, window, pad, channels) - mu_tt
+        sigma_pt = _filter(pred * target, window, pad, channels) - mu_pt
+
+        luminance = (2 * mu_pt + c1) / (mu_pp + mu_tt + c1)
+        cs = (2 * sigma_pt + c2) / (sigma_pp + sigma_tt + c2)
+
+        if i == levels - 1:
+            msssim_last = (luminance * cs).mean()
+        else:
+            mcs.append(cs.mean())
+            pred = avg_pool2(pred)
+            target = avg_pool2(target)
+
+    result = msssim_last
+    for i, m in enumerate(mcs):
+        result = result * (m ** weights[i])
+    return result
+
+
+def ssim_loss(pred: jax.Array, target: jax.Array, window_size: int = 11, **kwargs) -> jax.Array:
+    """1 - SSIM (reference ssim_loss.py:174-226)."""
+    return 1.0 - ssim(pred, target, window_size=window_size, **kwargs)
+
+
+def ms_ssim_loss(pred: jax.Array, target: jax.Array, **kwargs) -> jax.Array:
+    """1 - MS-SSIM (reference ssim_loss.py:229-277)."""
+    return 1.0 - ms_ssim(pred, target, **kwargs)
