@@ -1,0 +1,17 @@
+"""Checkpointing: self-describing msgpack checkpoints + torch converters."""
+
+from facesr.ckpt.checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    save_model,
+    load_model,
+    infer_model_config_from_params,
+)
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_model",
+    "load_model",
+    "infer_model_config_from_params",
+]

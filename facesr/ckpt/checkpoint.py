@@ -1,0 +1,130 @@
+"""Self-describing checkpoints for facesr.
+
+Format: a single msgpack file (flax.serialization) holding
+  { "meta": <json string>, "tree": <pytree of numpy arrays> }
+where meta carries epoch/step/config/training_history — mirroring the
+reference's rich torch checkpoint dict (`src/training/trainer.py:701-723`)
+— so every consumer can rebuild the architecture from the checkpoint alone
+(the reference achieves this by state-dict shape sniffing,
+`scripts/test_model.py:35-79`; we store the config explicitly and also
+support shape inference as a fallback for converted checkpoints).
+
+Structured state (optimizer NamedTuples) is restored with
+`flax.serialization.from_bytes` against a freshly-built target tree, the
+same build-then-load flow as the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+from flax import serialization
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_model",
+    "load_model",
+    "infer_model_config_from_params",
+]
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Serialize a pytree + JSON-able metadata to a single file."""
+    payload = {
+        "meta": json.dumps(meta or {}),
+        "tree": _to_numpy(tree),
+    }
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict[str, Any]]:
+    """Load (tree, meta). With `target`, the tree is restored into the
+    target's structure (NamedTuples etc.); without, raw nested containers."""
+    with open(path, "rb") as f:
+        data = f.read()
+    payload = serialization.msgpack_restore(data)
+    meta = json.loads(payload["meta"])
+    tree = payload["tree"]
+    if target is not None:
+        tree = serialization.from_state_dict(target, tree)
+    return tree, meta
+
+
+# ---------------------------------------------------------------------------
+# Model-only checkpoints (scripts / demo surface)
+# ---------------------------------------------------------------------------
+
+def save_model(path: str, params: Any, config: Any, model_type: str = "custom",
+               extra_meta: Optional[Dict[str, Any]] = None) -> None:
+    from dataclasses import asdict, is_dataclass
+
+    cfg_dict = asdict(config) if is_dataclass(config) else dict(config)
+    meta = {"model_type": model_type, "config": cfg_dict}
+    meta.update(extra_meta or {})
+    save_checkpoint(path, {"params": _to_numpy(params)}, meta)
+
+
+def infer_model_config_from_params(params: Any):
+    """Rebuild a FaceEnhanceNetConfig from parameter shapes (fallback for
+    checkpoints without config metadata; reference does the equivalent from
+    torch state-dict shapes at `scripts/test_model.py:35-79`)."""
+    from facesr.models.face_enhance_net import FaceEnhanceNetConfig
+
+    num_channels = int(np.asarray(params["conv_first"]["w"]).shape[-1])
+    rcab_w = np.asarray(params["groups"]["rcab"]["conv1_w"])
+    num_groups, blocks_per_group = int(rcab_w.shape[0]), int(rcab_w.shape[1])
+    fc1 = np.asarray(params["groups"]["rcab"]["ca"]["fc1_w"])
+    reduced = int(fc1.shape[-1])
+    reduction_ratio = max(num_channels // reduced, 1) if reduced >= 8 else 4
+    num_stages = len(params["upsample"])
+    return FaceEnhanceNetConfig(
+        num_channels=num_channels,
+        num_groups=num_groups,
+        blocks_per_group=blocks_per_group,
+        reduction_ratio=reduction_ratio,
+        scale_factor=2 ** num_stages,
+    )
+
+
+def load_model(path: str, model_type: str = "custom"):
+    """Load (config, params) from a model or trainer checkpoint."""
+    tree, meta = load_checkpoint(path)
+    if "params" in tree:
+        params = tree["params"]
+    elif "state" in tree and "params" in tree["state"]:
+        params = tree["state"]["params"]
+    else:
+        raise ValueError(f"No model params found in checkpoint {path}")
+    params = jax.tree.map(lambda x: np.asarray(x), params)
+    # upsample stages may come back as a dict {'0': ..., '1': ...} from
+    # msgpack restore of a list — normalize to a list
+    if isinstance(params.get("upsample"), dict):
+        params["upsample"] = [params["upsample"][k] for k in sorted(params["upsample"], key=int)]
+
+    cfg_dict = meta.get("config")
+    mtype = meta.get("model_type", model_type)
+    if mtype in ("custom", "lite"):
+        from facesr.models.face_enhance_net import FaceEnhanceNetConfig
+
+        if cfg_dict:
+            known = {k: v for k, v in cfg_dict.items()
+                     if k in FaceEnhanceNetConfig.__dataclass_fields__}
+            cfg = FaceEnhanceNetConfig(**known)
+        else:
+            cfg = infer_model_config_from_params(params)
+        return cfg, params
+    raise ValueError(f"Unsupported model_type: {mtype}")

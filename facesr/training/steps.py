@@ -1,0 +1,221 @@
+"""Jitted train / eval step builders.
+
+The reference's per-batch hot loop (`src/training/trainer.py:412-536`:
+host->device copy, on-the-fly bicubic LR, D loop, G update, metrics) becomes
+ONE compiled XLA program per step here:
+
+  - LR synthesis (`F.interpolate(hr, 0.25, bicubic)`, trainer.py:415-421)
+    runs on-device inside the step, as two tiny matmuls.
+  - The GAN alternation (d_updates_per_g D steps, then a G step with the
+    adversarial term, trainer.py:423-505) is unrolled inside the same jit;
+    `.detach()`/`no_grad` boundaries become `stop_gradient`.
+  - bf16 mixed precision is a compute-dtype policy (no GradScaler: bf16 on
+    TPU keeps the fp32 exponent range, so the reference's AMP loss-scaling
+    machinery is unnecessary by design).
+  - Data parallelism comes from sharding the HR batch over the mesh's
+    `data` axis; XLA inserts the gradient all-reduces over ICI.
+
+Steps are pure: (state, hr_batch) -> (state, metrics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from facesr.ops import bicubic_down
+from facesr.losses.gan import gan_loss
+
+__all__ = ["TrainState", "make_train_step", "make_gan_train_step", "make_eval_step", "set_learning_rate"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    loss_params: Any  # frozen (e.g. VGG) — never updated
+    d_params: Any = None
+    d_stats: Any = None
+    d_opt_state: Any = None
+
+
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
+    """Replace the injected learning_rate hyperparameter anywhere in an
+    optax state tree (epoch-granular scheduling without recompilation)."""
+    def visit(node):
+        if hasattr(node, "hyperparams") and isinstance(node.hyperparams, dict) \
+                and "learning_rate" in node.hyperparams:
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            node = node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[visit(f) for f in node])
+        if isinstance(node, tuple):
+            return tuple(visit(f) for f in node)
+        if isinstance(node, list):
+            return [visit(f) for f in node]
+        return node
+
+    return visit(opt_state)
+
+
+def make_optimizer(
+    weight_decay: float = 1e-4,
+    gradient_clip: float = 1.0,
+    accumulation_steps: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping and optional accumulation, LR injected
+    as a runtime hyperparameter (reference optimizer: trainer.py:217-221)."""
+    parts = []
+    if gradient_clip and gradient_clip > 0:
+        parts.append(optax.clip_by_global_norm(gradient_clip))
+    parts.append(
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=jnp.asarray(0.0, jnp.float32),
+            b1=b1,
+            b2=b2,
+            weight_decay=weight_decay,
+        )
+    )
+    tx = optax.chain(*parts)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx
+
+
+def make_train_step(
+    model_apply: Callable,
+    loss_apply: Callable,
+    tx: optax.GradientTransformation,
+    scale_factor: int = 4,
+    compute_dtype=None,
+) -> Callable:
+    """Content-only (no GAN) train step: LR synth -> G fwd -> loss -> update."""
+
+    def train_step(state: TrainState, hr: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        hr = hr.astype(jnp.float32)
+        lr_img = bicubic_down(hr, scale_factor)
+
+        def loss_fn(params):
+            sr = model_apply(params, lr_img, train=True, dtype=compute_dtype)
+            total, comps = loss_apply(state.loss_params, sr, hr)
+            return total, comps
+
+        (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = dict(comps)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return train_step
+
+
+def make_gan_train_step(
+    model_apply: Callable,
+    loss_apply: Callable,
+    disc_apply: Callable,
+    tx: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    scale_factor: int = 4,
+    gan_weight: float = 0.005,
+    gan_type: str = "vanilla",
+    d_updates_per_g: int = 1,
+    compute_dtype=None,
+) -> Callable:
+    """Adversarial step (reference trainer.py:423-505): d_updates_per_g
+    discriminator updates on (hr, stop_grad(sr)), then one generator update
+    with content + gan_weight * adversarial loss — all in one XLA program."""
+
+    def train_step(state: TrainState, hr: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        hr = hr.astype(jnp.float32)
+        lr_img = bicubic_down(hr, scale_factor)
+
+        # Fake batch for D updates: generator output, detached
+        sr_for_d = jax.lax.stop_gradient(
+            model_apply(state.params, lr_img, train=True, dtype=compute_dtype)
+        )
+
+        d_params, d_stats, d_opt_state = state.d_params, state.d_stats, state.d_opt_state
+        d_loss = d_real_score = d_fake_score = jnp.asarray(0.0, jnp.float32)
+        for _ in range(d_updates_per_g):
+            def d_loss_fn(dp, stats):
+                d_real, stats = disc_apply(dp, stats, hr, train=True)
+                d_fake, stats = disc_apply(dp, stats, sr_for_d, train=True)
+                loss_real = gan_loss(d_real, True, gan_type)
+                loss_fake = gan_loss(d_fake, False, gan_type)
+                return (loss_real + loss_fake) / 2, (stats, d_real, d_fake)
+
+            (d_loss, (d_stats, d_real, d_fake)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params, d_stats)
+            d_updates, d_opt_state = tx_d.update(d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+            d_real_score = jax.nn.sigmoid(d_real).mean()
+            d_fake_score = jax.nn.sigmoid(d_fake).mean()
+
+        # Generator update (adversarial term through the updated D)
+        def g_loss_fn(params, stats):
+            sr = model_apply(params, lr_img, train=True, dtype=compute_dtype)
+            content, comps = loss_apply(state.loss_params, sr, hr)
+            d_out, stats = disc_apply(d_params, stats, sr, train=True)
+            g_adv = gan_loss(d_out, True, gan_type)
+            total = content + gan_weight * g_adv
+            comps = dict(comps)
+            comps["g_adv"] = g_adv
+            return total, (comps, stats)
+
+        (g_loss, (comps, d_stats)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params, d_stats
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            d_params=d_params,
+            d_stats=d_stats,
+            d_opt_state=d_opt_state,
+        )
+        metrics = dict(comps)
+        metrics.update({
+            "loss": g_loss,
+            "d_loss": d_loss,
+            "d_real": d_real_score,
+            "d_fake": d_fake_score,
+        })
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model_apply: Callable,
+    loss_apply: Callable,
+    scale_factor: int = 4,
+) -> Callable:
+    """Validation step (reference trainer.py:552-598): eval-mode (clamped)
+    forward, combined loss, batch PSNR (10*log10(1/mse)) and SSIM."""
+    from facesr.losses.ssim import ssim as ssim_fn
+
+    def eval_step(state: TrainState, hr: jax.Array):
+        hr = hr.astype(jnp.float32)
+        lr_img = bicubic_down(hr, scale_factor)
+        sr = model_apply(state.params, lr_img, train=False, dtype=None)
+        loss, _ = loss_apply(state.loss_params, sr, hr)
+        mse = jnp.mean((sr - hr) ** 2)
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+        ssim_val = ssim_fn(sr, hr)
+        return {"loss": loss, "psnr": psnr, "ssim": ssim_val}, sr, lr_img
+
+    return eval_step

@@ -1,0 +1,564 @@
+"""Training runtime: sharded data-parallel Trainer, early stopping, overfit test.
+
+TPU-native redesign of the reference Trainer
+(`/root/reference/src/training/trainer.py:167-760`):
+
+  - The whole per-batch block (LR synthesis, D loop, G update) is ONE jitted
+    XLA program (see `facesr.training.steps`), pjit-sharded over a 1-D
+    `data` mesh: HR batches sharded on the leading axis, state replicated,
+    gradient all-reduce over ICI inserted by XLA.
+  - LR scheduling is epoch-granular (PyTorch scheduler semantics,
+    trainer.py:347-352) via an injected hyperparameter — no recompiles.
+  - bf16 compute policy replaces CUDA AMP + GradScaler.
+  - Checkpoints are self-describing msgpack (facesr.ckpt) with the same
+    payload as the reference (epoch, step, params, optimizer, scheduler,
+    history, config, discriminator when GAN — trainer.py:701-723) and the
+    same full-resume vs weights-only fine-tune modes (trainer.py:725-760).
+
+W&B is optional and import-guarded exactly like the reference
+(trainer.py:21-25).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, asdict, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+try:  # optional, mirrors reference trainer.py:21-25
+    import wandb
+
+    WANDB_AVAILABLE = True
+except ImportError:
+    WANDB_AVAILABLE = False
+
+from facesr.parallel import get_mesh, replicated, batch_sharding, replicate, pad_to_multiple
+from facesr.training import steps as steps_lib
+from facesr.training.steps import TrainState, make_optimizer, set_learning_rate
+from facesr.training import schedules
+from facesr.ckpt import save_checkpoint, load_checkpoint
+from facesr.models import face_enhance_net as fen
+from facesr.models import discriminator as disc_lib
+from facesr.ops import nearest_up
+
+__all__ = ["TrainerConfig", "EarlyStopping", "Trainer", "overfit_test", "save_validation_grid"]
+
+
+def save_validation_grid(lr_images, sr_images, hr_images, epoch: int,
+                         save_dir: str = "training_logs") -> None:
+    """LR|SR|HR comparison grid PNG per epoch (reference trainer.py:34-82).
+
+    Inputs NHWC float [0,1]; LR is nearest-upscaled to HR size.
+    """
+    from PIL import Image
+
+    save_path = Path(save_dir)
+    save_path.mkdir(parents=True, exist_ok=True)
+
+    lr_images = np.clip(np.asarray(lr_images), 0, 1)
+    sr_images = np.clip(np.asarray(sr_images), 0, 1)
+    hr_images = np.clip(np.asarray(hr_images), 0, 1)
+
+    scale = hr_images.shape[1] // lr_images.shape[1]
+    lr_up = np.asarray(nearest_up(jnp.asarray(lr_images), scale))
+
+    num = min(4, lr_images.shape[0])
+    pad = 2
+    h, w = hr_images.shape[1], hr_images.shape[2]
+    grid = np.ones((num * (h + pad) + pad, 3 * (w + pad) + pad, 3), dtype=np.float32)
+    for i in range(num):
+        for j, img in enumerate((lr_up[i], sr_images[i], hr_images[i])):
+            y0 = pad + i * (h + pad)
+            x0 = pad + j * (w + pad)
+            grid[y0:y0 + h, x0:x0 + w] = img
+    out = (grid * 255).astype(np.uint8)
+    Image.fromarray(out).save(save_path / f"epoch_{epoch:04d}.png")
+
+
+@dataclass
+class TrainerConfig:
+    """Mirrors reference TrainerConfig (trainer.py:85-131) + TPU extras."""
+
+    epochs: int = 50
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    gradient_clip: float = 1.0
+    accumulation_steps: int = 1
+
+    # Mixed precision: bf16 trunk compute on TPU (replaces CUDA AMP).
+    use_amp: bool = True
+
+    scheduler_type: str = "cosine"  # 'cosine', 'step', 'plateau'
+    scheduler_T_max: int = 50
+    scheduler_eta_min: float = 1e-7
+    scheduler_step_size: int = 10
+    scheduler_gamma: float = 0.5
+
+    early_stopping_patience: int = 10
+    early_stopping_metric: str = "val_psnr"
+    early_stopping_mode: str = "max"
+
+    checkpoint_dir: str = "checkpoints"
+    save_every: int = 10
+    save_best: bool = True
+
+    log_every: int = 100
+    log_images_every: int = 5
+    use_wandb: bool = True
+    wandb_project: str = "face-super-resolution"
+
+    # GAN
+    gan_weight: float = 0.0
+    gan_type: str = "vanilla"
+    d_learning_rate: float = 1e-4
+    d_weight_decay: float = 0.0
+    d_updates_per_g: int = 1
+    gan_start_epoch: int = 0
+
+    # TPU / mesh
+    scale_factor: int = 4
+    mesh_axis: str = "data"
+    log_dir: str = "training_logs"
+
+
+class EarlyStopping:
+    """Early stopping handler (reference trainer.py:134-164)."""
+
+    def __init__(self, patience: int = 10, mode: str = "max", min_delta: float = 0.0):
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_score: Optional[float] = None
+        self.should_stop = False
+
+    def __call__(self, score: float) -> bool:
+        if self.best_score is None:
+            self.best_score = score
+            return False
+        if self.mode == "max":
+            improved = score > self.best_score + self.min_delta
+        else:
+            improved = score < self.best_score - self.min_delta
+        if improved:
+            self.best_score = score
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+class Trainer:
+    """Sharded data-parallel training manager.
+
+    Args:
+        model: a FaceEnhanceNet-like wrapper (has .config, .params) — or pass
+            (model_apply, params, model_config) style kwargs.
+        train_loader / val_loader: iterables of {'hr': NHWC float32 [0,1]}
+            numpy batches (see facesr.data).
+        loss_fn: CombinedLoss instance (facesr.losses).
+        discriminator / gan_loss handled via config.gan_weight > 0.
+    """
+
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader,
+        loss_fn,
+        config: Optional[TrainerConfig] = None,
+        discriminator: Optional[tuple] = None,  # (cfg, params, stats)
+        mesh=None,
+    ):
+        self.config = config or TrainerConfig()
+        self.model = model
+        self.model_cfg = model.config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.loss_fn = loss_fn
+
+        self.mesh = mesh if mesh is not None else get_mesh(axis_names=(self.config.mesh_axis,))
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+
+        cfgm = self.model_cfg
+        self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
+        self._loss_apply = loss_fn.apply
+        self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
+
+        # Optimizers
+        self.tx = make_optimizer(
+            weight_decay=self.config.weight_decay,
+            gradient_clip=self.config.gradient_clip,
+            accumulation_steps=self.config.accumulation_steps,
+        )
+        opt_state = self.tx.init(model.params)
+        opt_state = set_learning_rate(opt_state, self.config.learning_rate)
+
+        self.use_gan = self.config.gan_weight > 0 and discriminator is not None
+        d_params = d_stats = d_opt_state = None
+        self.tx_d = None
+        self.disc_cfg = None
+        if self.use_gan:
+            self.disc_cfg, d_params, d_stats = discriminator
+            self.tx_d = make_optimizer(
+                weight_decay=self.config.d_weight_decay,
+                gradient_clip=0.0,
+            )
+            d_opt_state = self.tx_d.init(d_params)
+            d_opt_state = set_learning_rate(d_opt_state, self.config.d_learning_rate)
+
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=model.params,
+            opt_state=opt_state,
+            loss_params=loss_fn.params,
+            d_params=d_params,
+            d_stats=d_stats,
+            d_opt_state=d_opt_state,
+        )
+        self.state = replicate(self.state, self.mesh)
+
+        # Jitted steps with explicit shardings (batch sharded over `data`).
+        repl = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh, self.config.mesh_axis)
+
+        content_step = steps_lib.make_train_step(
+            self._model_apply, self._loss_apply, self.tx,
+            scale_factor=self.config.scale_factor, compute_dtype=self.compute_dtype,
+        )
+        self._content_step = jax.jit(
+            content_step, in_shardings=(repl, bsh), donate_argnums=0
+        )
+        self._gan_step = None
+        if self.use_gan:
+            dcfg = self.disc_cfg
+            disc_apply = lambda p, s, x, train: disc_lib.apply(p, s, x, dcfg, train=train)
+            gan_step = steps_lib.make_gan_train_step(
+                self._model_apply, self._loss_apply, disc_apply, self.tx, self.tx_d,
+                scale_factor=self.config.scale_factor,
+                gan_weight=self.config.gan_weight,
+                gan_type=self.config.gan_type,
+                d_updates_per_g=self.config.d_updates_per_g,
+                compute_dtype=self.compute_dtype,
+            )
+            self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh), donate_argnums=0)
+
+        eval_step = steps_lib.make_eval_step(
+            self._model_apply, self._loss_apply, scale_factor=self.config.scale_factor
+        )
+        self._eval_step = jax.jit(eval_step, in_shardings=(repl, bsh))
+
+        # Scheduler / early stopping / bookkeeping
+        self.plateau = (
+            schedules.ReduceLROnPlateau(self.config.learning_rate)
+            if self.config.scheduler_type == "plateau" else None
+        )
+        self.early_stopping = EarlyStopping(
+            patience=self.config.early_stopping_patience,
+            mode=self.config.early_stopping_mode,
+        )
+        self.checkpoint_dir = Path(self.config.checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.best_metric: Optional[float] = None
+        self.current_epoch = 0
+        self.global_step = 0
+        self.current_lr = self.config.learning_rate
+        self.training_history: Dict[str, List] = {
+            "train_loss": [],
+            "val_loss": [],
+            "val_psnr": [],
+            "val_ssim": [],
+            "learning_rate": [],
+        }
+        if self.use_gan:
+            for k in ("d_loss", "g_loss", "d_real", "d_fake"):
+                self.training_history[k] = []
+
+        self.use_wandb = self.config.use_wandb and WANDB_AVAILABLE
+        if self.use_wandb:
+            self._init_wandb()
+
+    # ------------------------------------------------------------------
+    def _init_wandb(self):
+        wandb.init(
+            project=self.config.wandb_project,
+            config={
+                "epochs": self.config.epochs,
+                "learning_rate": self.config.learning_rate,
+                "weight_decay": self.config.weight_decay,
+                "gradient_clip": self.config.gradient_clip,
+                "use_amp": self.config.use_amp,
+                "model": type(self.model).__name__,
+                "n_devices": self.n_devices,
+            },
+        )
+
+    def _epoch_lr(self, epoch: int) -> float:
+        return schedules.compute_lr(
+            self.config.scheduler_type,
+            self.config.learning_rate,
+            epoch,
+            T_max=self.config.scheduler_T_max,
+            eta_min=self.config.scheduler_eta_min,
+            step_size=self.config.scheduler_step_size,
+            gamma=self.config.scheduler_gamma,
+            plateau=self.plateau,
+        )
+
+    def _set_lr(self, lr: float) -> None:
+        if abs(lr - self.current_lr) > 1e-12:
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, lr)
+            )
+        self.current_lr = lr
+
+    def _shard_hr(self, hr: np.ndarray) -> jax.Array:
+        hr, _ = pad_to_multiple(np.asarray(hr), self.n_devices)
+        return jax.device_put(hr, batch_sharding(self.mesh, self.config.mesh_axis))
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, Any]:
+        """Full training loop (reference trainer.py:326-388)."""
+        print(f"Starting training on {self.n_devices} device(s): "
+              f"{self.mesh.devices.flat[0].platform}")
+        print(f"Epochs: {self.config.epochs}")
+
+        for epoch in range(self.current_epoch, self.config.epochs):
+            self.current_epoch = epoch
+            self._set_lr(self._epoch_lr(epoch))
+
+            train_metrics = self._train_epoch()
+            val_metrics = self._validate_epoch()
+
+            if self.plateau is not None:
+                self.plateau.step(val_metrics["psnr"])
+
+            self._log_epoch_metrics(epoch, train_metrics, val_metrics, self.current_lr)
+
+            if (epoch + 1) % self.config.save_every == 0:
+                self.save_checkpoint(f"epoch_{epoch + 1}.fckpt")
+
+            metric_key = self.config.early_stopping_metric.replace("val_", "")
+            metric_value = val_metrics.get(metric_key, val_metrics.get("psnr", 0.0))
+            if self.config.save_best and self._is_best(metric_value):
+                self.save_checkpoint("best_model.fckpt", is_best=True)
+
+            if self.early_stopping(metric_value):
+                print(f"\nEarly stopping triggered at epoch {epoch + 1}")
+                break
+
+        self.save_checkpoint("final_model.fckpt")
+        if self.use_wandb:
+            wandb.finish()
+        return self.training_history
+
+    def _train_epoch(self) -> Dict[str, float]:
+        gan_active = self.use_gan and self.current_epoch >= self.config.gan_start_epoch
+        step_fn = self._gan_step if gan_active else self._content_step
+
+        totals: Dict[str, float] = {}
+        num_batches = 0
+        t0 = time.time()
+        for batch in self.train_loader:
+            hr = self._shard_hr(batch["hr"])
+            self.state, metrics = step_fn(self.state, hr)
+            num_batches += 1
+            self.global_step += 1
+            if self.use_wandb and self.global_step % self.config.log_every == 0:
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                wandb.log({f"train/{k}": v for k, v in metrics_host.items()}
+                          | {"train/step": self.global_step})
+                totals = {k: totals.get(k, 0.0) + v for k, v in metrics_host.items()}
+            else:
+                # fetch metrics lazily each step (device->host sync once/step)
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                totals = {k: totals.get(k, 0.0) + v for k, v in metrics_host.items()}
+
+        out = {k: v / max(num_batches, 1) for k, v in totals.items()}
+        out["time_s"] = time.time() - t0
+        out.setdefault("loss", 0.0)
+        return out
+
+    def _validate_epoch(self) -> Dict[str, float]:
+        totals = {"loss": 0.0, "psnr": 0.0, "ssim": 0.0}
+        num_batches = 0
+        sample = None
+        for batch_idx, batch in enumerate(self.val_loader):
+            hr = self._shard_hr(batch["hr"])
+            metrics, sr, lr_img = self._eval_step(self.state, hr)
+            for k in totals:
+                totals[k] += float(metrics[k])
+            num_batches += 1
+            if batch_idx == 0:
+                sample = (np.asarray(lr_img[:8]), np.asarray(sr[:8]), np.asarray(hr[:8]))
+
+        metrics = {k: v / max(num_batches, 1) for k, v in totals.items()}
+        if sample is not None:
+            try:
+                save_validation_grid(*sample, epoch=self.current_epoch,
+                                     save_dir=self.config.log_dir)
+            except Exception as e:  # visualization must never kill training
+                print(f"Warning: failed to save validation grid: {e}")
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _log_epoch_metrics(self, epoch, train_metrics, val_metrics, lr):
+        self.training_history["train_loss"].append(train_metrics["loss"])
+        self.training_history["val_loss"].append(val_metrics["loss"])
+        self.training_history["val_psnr"].append(val_metrics["psnr"])
+        self.training_history["val_ssim"].append(val_metrics["ssim"])
+        self.training_history["learning_rate"].append(lr)
+        if self.use_gan and "d_loss" in train_metrics:
+            self.training_history["d_loss"].append(train_metrics["d_loss"])
+            self.training_history["g_loss"].append(train_metrics.get("g_adv", 0.0))
+            self.training_history["d_real"].append(train_metrics.get("d_real", 0.0))
+            self.training_history["d_fake"].append(train_metrics.get("d_fake", 0.0))
+
+        print(f"\nEpoch {epoch + 1}/{self.config.epochs}")
+        print(f"  Train Loss: {train_metrics['loss']:.4f}")
+        print(f"  Val Loss:   {val_metrics['loss']:.4f}")
+        print(f"  Val PSNR:   {val_metrics['psnr']:.2f} dB")
+        print(f"  Val SSIM:   {val_metrics['ssim']:.4f}")
+        print(f"  LR:         {lr:.2e}  ({train_metrics.get('time_s', 0):.1f}s)")
+
+        if self.use_wandb:
+            wandb.log({
+                "epoch": epoch + 1,
+                "train/epoch_loss": train_metrics["loss"],
+                "val/loss": val_metrics["loss"],
+                "val/psnr": val_metrics["psnr"],
+                "val/ssim": val_metrics["ssim"],
+                "learning_rate": lr,
+            })
+
+    def _is_best(self, metric_value: float) -> bool:
+        if self.best_metric is None:
+            self.best_metric = metric_value
+            return True
+        better = (metric_value > self.best_metric
+                  if self.config.early_stopping_mode == "max"
+                  else metric_value < self.best_metric)
+        if better:
+            self.best_metric = metric_value
+        return better
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, filename: str, is_best: bool = False) -> None:
+        """Reference checkpoint payload (trainer.py:701-723), msgpack format."""
+        state_dict = serialization.to_state_dict(self.state)
+        meta = {
+            "epoch": self.current_epoch,
+            "global_step": self.global_step,
+            "best_metric": self.best_metric,
+            "training_history": self.training_history,
+            "config": asdict(self.config),
+            "model_config": asdict(self.model_cfg),
+            "model_type": "custom",
+            "scheduler_state": self.plateau.state_dict() if self.plateau else None,
+            "use_gan": self.use_gan,
+        }
+        save_checkpoint(str(self.checkpoint_dir / filename), state_dict, meta)
+        if is_best:
+            print(f"  New best model saved: {self.best_metric:.4f}")
+
+    def load_checkpoint(self, path: str, weights_only: bool = False) -> None:
+        """Full resume vs weights-only fine-tune (reference trainer.py:725-760)."""
+        target = serialization.to_state_dict(self.state)
+        tree, meta = load_checkpoint(path, target=None)
+
+        if weights_only:
+            params = serialization.from_state_dict(
+                jax.device_get(self.state.params), tree["params"]
+            )
+            self.state = self.state.replace(params=replicate(params, self.mesh))
+            print(f"Loaded model weights from epoch {meta.get('epoch')} (fine-tuning mode)")
+            print(f"  Starting fresh with LR={self.config.learning_rate}")
+            return
+
+        restored = serialization.from_state_dict(jax.device_get(self.state), tree)
+        self.state = replicate(restored, self.mesh)
+        self.current_epoch = meta["epoch"] + 1
+        self.global_step = meta["global_step"]
+        self.best_metric = meta["best_metric"]
+        self.training_history = meta["training_history"]
+        if self.plateau is not None and meta.get("scheduler_state"):
+            self.plateau.load_state_dict(meta["scheduler_state"])
+        print(f"Loaded checkpoint from epoch {meta['epoch'] + 1}")
+
+
+def overfit_test(
+    model,
+    dataloader,
+    loss_fn=None,
+    num_images: int = 10,
+    num_iterations: int = 1000,
+    learning_rate: float = 2e-4,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Overfit sanity harness (reference trainer.py:763-848): overfit
+    `num_images` HR crops with pure MSE; converged iff final PSNR > 35 dB.
+    The SR output is clamped to [0,1] *before* the loss, as in the reference
+    (trainer.py:819)."""
+    print(f"\nOverfitting test on {num_images} images...")
+    mesh = mesh if mesh is not None else get_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    batch = next(iter(dataloader))
+    hr = np.asarray(batch["hr"][:num_images], dtype=np.float32)
+    hr, _ = pad_to_multiple(hr, n_dev)
+    hr_dev = jax.device_put(hr, batch_sharding(mesh))
+
+    cfg = model.config
+    tx = optax.adam(learning_rate)
+    params = replicate(model.params, mesh)
+    opt_state = replicate(tx.init(params), mesh)
+
+    from facesr.ops import bicubic_down
+
+    @jax.jit
+    def step(params, opt_state, hr):
+        lr_img = bicubic_down(hr, cfg.scale_factor)
+
+        def loss_f(p):
+            sr = fen.apply(p, lr_img, cfg, train=True)
+            sr = jnp.clip(sr, 0.0, 1.0)
+            mse = jnp.mean((sr - hr) ** 2)
+            return mse
+
+        mse, grads = jax.value_and_grad(loss_f)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+        return params, opt_state, mse, psnr
+
+    losses, psnrs = [], []
+    for i in range(num_iterations):
+        params, opt_state, mse, psnr = step(params, opt_state, hr_dev)
+        if i % 50 == 0 or i == num_iterations - 1:
+            losses.append(float(mse))
+            psnrs.append(float(psnr))
+            print(f"  iter {i}: loss={losses[-1]:.6f} psnr={psnrs[-1]:.2f}")
+
+    results = {
+        "final_loss": losses[-1],
+        "final_psnr": psnrs[-1],
+        "loss_history": losses,
+        "psnr_history": psnrs,
+        "converged": psnrs[-1] > 35,
+    }
+    print(f"\nOverfit test results:")
+    print(f"  Final loss: {results['final_loss']:.6f}")
+    print(f"  Final PSNR: {results['final_psnr']:.2f} dB")
+    print(f"  Converged: {results['converged']}")
+    model.params = jax.device_get(params)
+    return results

@@ -1,0 +1,163 @@
+"""Training runtime tests on the 8-device CPU mesh: content step, GAN step,
+scheduler semantics, early stopping, checkpoint save/resume, mini overfit."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from facesr.models import face_enhance_net as fen
+from facesr.models import discriminator as disc_lib
+from facesr.losses import combined as fc
+from facesr.training import (
+    Trainer,
+    TrainerConfig,
+    EarlyStopping,
+    schedules,
+    overfit_test,
+)
+from facesr.parallel import get_mesh
+
+
+SMALL = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+
+
+class FakeLoader:
+    """Deterministic in-memory loader yielding {'hr': NHWC float32} batches."""
+
+    def __init__(self, n_batches=2, batch=8, size=32, seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = [
+            {"hr": rng.random((batch, size, size, 3), dtype=np.float32)}
+            for _ in range(n_batches)
+        ]
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _make_trainer(tmp_path, gan=False, **cfg_kwargs):
+    model = fen.FaceEnhanceNet(SMALL)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    cfg = TrainerConfig(
+        epochs=2,
+        learning_rate=1e-3,
+        use_amp=False,
+        use_wandb=False,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        save_every=100,
+        scheduler_T_max=2,
+        gan_weight=0.01 if gan else 0.0,
+        scale_factor=4,
+        **cfg_kwargs,
+    )
+    disc = None
+    if gan:
+        # tiny discriminator for 32x32 inputs: input_size=32 -> feat 1
+        dcfg, dparams, dstats = disc_lib.create_discriminator(input_size=32, base_channels=8)
+        disc = (dcfg, dparams, dstats)
+    return Trainer(model, FakeLoader(), FakeLoader(n_batches=1, seed=1), loss_fn,
+                   config=cfg, discriminator=disc)
+
+
+def test_scheduler_cosine_matches_pytorch():
+    import torch.optim as optim
+
+    base, T, eta = 1e-4, 10, 1e-7
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = optim.SGD([p], lr=base)
+    sched = optim.lr_scheduler.CosineAnnealingLR(opt, T_max=T, eta_min=eta)
+    for epoch in range(10):
+        want = opt.param_groups[0]["lr"]
+        got = schedules.cosine_annealing(base, epoch, T, eta)
+        assert abs(got - want) < 1e-12, (epoch, got, want)
+        opt.step()
+        sched.step()
+
+
+def test_scheduler_step_matches_pytorch():
+    import torch.optim as optim
+
+    base = 1e-3
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = optim.SGD([p], lr=base)
+    sched = optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.5)
+    for epoch in range(10):
+        want = opt.param_groups[0]["lr"]
+        got = schedules.step_lr(base, epoch, 3, 0.5)
+        assert abs(got - want) < 1e-15
+        opt.step()
+        sched.step()
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, mode="max")
+    assert not es(10.0)
+    assert not es(11.0)
+    assert not es(10.5)  # counter 1
+    assert es(10.2)  # counter 2 -> stop
+    assert es.best_score == 11.0
+
+
+def test_content_training_reduces_loss(tmp_path):
+    trainer = _make_trainer(tmp_path)
+    history = trainer.train()
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(history["train_loss"]))
+    assert history["val_psnr"][0] > 0
+    # Loss should not explode
+    assert history["train_loss"][-1] < history["train_loss"][0] * 2
+
+
+def test_gan_training_step_runs(tmp_path):
+    trainer = _make_trainer(tmp_path, gan=True)
+    history = trainer.train()
+    assert "d_loss" in history and len(history["d_loss"]) == 2
+    assert all(np.isfinite(history["d_loss"]))
+    assert 0.0 <= history["d_real"][0] <= 1.0
+
+
+def test_checkpoint_save_resume(tmp_path):
+    trainer = _make_trainer(tmp_path)
+    trainer.train()
+    ckpt = str(tmp_path / "ckpt" / "final_model.fckpt")
+
+    trainer2 = _make_trainer(tmp_path)
+    trainer2.load_checkpoint(ckpt)
+    assert trainer2.current_epoch == 2
+    assert trainer2.global_step == trainer.global_step
+    # params restored identically
+    p1 = jax.device_get(trainer.state.params)["conv_first"]["w"]
+    p2 = jax.device_get(trainer2.state.params)["conv_first"]["w"]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # weights-only fine-tune mode
+    trainer3 = _make_trainer(tmp_path)
+    trainer3.load_checkpoint(ckpt, weights_only=True)
+    assert trainer3.current_epoch == 0
+    p3 = jax.device_get(trainer3.state.params)["conv_first"]["w"]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+
+
+def test_batch_padding_for_mesh(tmp_path):
+    # batch of 5 on an 8-device mesh must still work (padded internally)
+    trainer = _make_trainer(tmp_path)
+    loader = FakeLoader(n_batches=1, batch=5, seed=2)
+    trainer.val_loader = loader
+    metrics = trainer._validate_epoch()
+    assert np.isfinite(metrics["psnr"])
+
+
+def test_overfit_converges_quickly():
+    # Tiny model overfitting 4 images: PSNR must climb well above the
+    # bicubic starting point within a few hundred iters.
+    model = fen.FaceEnhanceNet(SMALL)
+    loader = FakeLoader(n_batches=1, batch=4, size=32, seed=3)
+    res = overfit_test(model, loader, num_images=4, num_iterations=150,
+                       learning_rate=1e-3)
+    assert res["psnr_history"][-1] > res["psnr_history"][0]
+    assert np.isfinite(res["final_loss"])
