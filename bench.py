@@ -1,0 +1,69 @@
+"""Headline benchmark: 4x SR (64->256) inference throughput per chip.
+
+Runs the production FaceEnhanceNet (6 groups x 10 RCABs x 64 channels —
+the config behind the reference's published metrics,
+configs/stages/stage1_psnr_config.yaml) in bf16 on the available
+accelerator, and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
+
+The reference never published inference throughput
+(BASELINE.md: "not published"; its scripts/measure_inference_time.py exists
+but no recorded numbers). REF_GPU_IMGS_PER_SEC below is therefore an
+*estimate* of the reference PyTorch model on its RunPod-class GPU
+(~45 GFLOP/image at fp32 on a mid-range card), used only to report a
+vs_baseline ratio; the BASELINE.json north star is >=5x that.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REF_GPU_IMGS_PER_SEC = 200.0  # documented estimate (see module docstring)
+
+
+def main() -> None:
+    from facesr.models import face_enhance_net as fen
+
+    cfg = fen.FaceEnhanceNetConfig(num_groups=6, blocks_per_group=10, num_channels=64)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else None
+    batch = 32 if on_tpu else 4
+
+    fwd = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False, dtype=dtype))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 64, 64, 3), dtype=np.float32))
+    params = jax.device_put(params, dev)
+    x = jax.device_put(x, dev)
+
+    # Warmup / compile
+    fwd(params, x).block_until_ready()
+    fwd(params, x).block_until_ready()
+
+    iters = 30 if on_tpu else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "images_per_sec_64to256_x4_inference_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REF_GPU_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

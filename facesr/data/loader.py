@@ -1,0 +1,125 @@
+"""Threaded prefetching data loader (host -> device feed).
+
+Replaces PyTorch's multiprocess DataLoader (reference
+`src/data/dataset.py:321-352`) with a thread-pool design: cv2/h5py release
+the GIL during decode, so threads give near-linear scaling without the
+fork/pickle overhead of worker processes, and batches land in pinned host
+numpy buffers ready for a single `device_put` into the sharded train step.
+A bounded prefetch queue keeps `prefetch_batches` batches ahead of the
+accelerator.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+_STOP = object()
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Iterable over batched dict samples from a map-style dataset.
+
+    Args:
+        dataset: object with __len__ and __getitem__ -> dict of np arrays.
+        batch_size / shuffle / drop_last: standard semantics (reference
+            shuffles + drops last in train mode, dataset.py:341-342).
+        num_workers: decode threads (0 = synchronous).
+        prefetch_batches: bound of the ready-batch queue.
+        seed: shuffle seed; each epoch reshuffles deterministically.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch_batches: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._batch_indices()
+        self.epoch += 1
+
+        if self.num_workers <= 0:
+            for idx in batches:
+                yield _collate([self.dataset[int(i)] for i in idx])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def produce():
+            try:
+                # Pipeline: submit per-sample fetches, collate in order.
+                futures = [
+                    [pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
+                    for idx in batches
+                ]
+                for fs in futures:
+                    q.put(_collate([f.result() for f in fs]))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+            finally:
+                q.put(_STOP)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,142 @@
+"""Data pipeline tests: prepare -> dataset backends -> loader -> batches."""
+
+import numpy as np
+import pytest
+import cv2
+
+from facesr.data import (
+    FFHQDataset,
+    ImageCache,
+    get_dataloader,
+    DataLoader,
+    PairedTransform,
+    to_array,
+)
+from facesr.data.prepare_data import (
+    create_lr_image,
+    resize_hr_image,
+    split_dataset,
+    process_and_save_images,
+    save_to_hdf5,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        img = (rng.random((300, 300, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"img_{i:03d}.png"), img)
+    return d
+
+
+@pytest.fixture(scope="module")
+def processed_dir(raw_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("processed")
+    files = sorted(raw_dir.glob("*.png"))
+    train, val, test = split_dataset(files, train_ratio=0.5, val_ratio=0.25, seed=42)
+    for split, flist in (("train", train), ("val", val), ("test", test)):
+        process_and_save_images(flist, out / split, hr_size=64, lr_size=16)
+    return out
+
+
+def test_split_ratios(raw_dir):
+    files = sorted(raw_dir.glob("*.png"))
+    train, val, test = split_dataset(files, 0.5, 0.25, seed=42)
+    assert len(train) == 6 and len(val) == 3 and len(test) == 3
+    # deterministic
+    train2, _, _ = split_dataset(files, 0.5, 0.25, seed=42)
+    assert [f.name for f in train] == [f.name for f in train2]
+
+
+def test_create_lr_methods():
+    hr = (np.random.default_rng(1).random((64, 64, 3)) * 255).astype(np.uint8)
+    for method in ("bicubic", "bilinear", "realistic"):
+        lr = create_lr_image(hr, 16, method)
+        assert lr.shape == (16, 16, 3) and lr.dtype == np.uint8
+    assert resize_hr_image(hr, 32).shape == (32, 32, 3)
+
+
+def test_dataset_dir_backend(processed_dir):
+    ds = FFHQDataset(str(processed_dir), mode="train", scale_factor=4,
+                     hr_patch_size=32, seed=0)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["hr"].shape == (32, 32, 3) and s["lr"].shape == (8, 8, 3)
+    assert s["hr"].dtype == np.float32
+    assert 0.0 <= s["hr"].min() and s["hr"].max() <= 1.0
+
+
+def test_dataset_hr_only_mode(processed_dir, tmp_path):
+    import shutil
+
+    d = tmp_path / "hr_only" / "train"
+    shutil.copytree(processed_dir / "train" / "HR", d / "HR")
+    ds = FFHQDataset(str(tmp_path / "hr_only"), mode="train", scale_factor=4,
+                     hr_patch_size=32, seed=0)
+    assert ds.hr_only_mode
+    s = ds[0]
+    assert s["lr"].shape == (8, 8, 3)
+
+
+def test_dataset_hdf5_backend(processed_dir, tmp_path):
+    h5p = tmp_path / "train.h5"
+    save_to_hdf5(processed_dir / "train", h5p, hr_size=64, lr_size=16)
+    ds = FFHQDataset(str(h5p), mode="train", scale_factor=4, hr_patch_size=32,
+                     return_filename=True, seed=0)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["hr"].shape == (32, 32, 3)
+    assert s["filename"].endswith(".png")
+
+
+def test_dataloader_batching(processed_dir):
+    loader = get_dataloader(str(processed_dir), mode="train", batch_size=4,
+                            num_workers=2, hr_patch_size=32, seed=0)
+    assert len(loader) == 1  # 6 samples, drop_last
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["hr"].shape == (4, 32, 32, 3)
+    # shuffling changes across epochs but sizes stay
+    b2 = list(loader)[0]
+    assert b2["hr"].shape == (4, 32, 32, 3)
+
+
+def test_dataloader_no_workers(processed_dir):
+    loader = get_dataloader(str(processed_dir), mode="val", batch_size=2,
+                            num_workers=0, hr_patch_size=32)
+    batches = list(loader)
+    assert sum(b["hr"].shape[0] for b in batches) == 3  # no drop_last in val
+
+
+def test_image_cache():
+    c = ImageCache(max_size=2)
+    a = np.zeros((2, 2, 3), np.uint8)
+    c.put("k1", (a, a))
+    c.put("k2", (a, a))
+    assert c.get("k1") is not None
+    c.put("k3", (a, a))  # evicts k2 (LRU)
+    assert c.get("k2") is None
+    assert 0 < c.hit_rate < 1
+
+
+def test_paired_transform_sync():
+    rng = np.random.default_rng(2)
+    hr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    lr = cv2.resize(hr, (16, 16), interpolation=cv2.INTER_CUBIC)
+    t = PairedTransform(hr_patch_size=32, scale_factor=4, mode="train",
+                        horizontal_flip=1.0, color_jitter_prob=0.0,
+                        rng=np.random.default_rng(0))
+    hr_t, lr_t = t(hr, lr)
+    assert hr_t.shape == (32, 32, 3) and lr_t.shape == (8, 8, 3)
+    # val mode: no-op
+    tv = PairedTransform(hr_patch_size=32, scale_factor=4, mode="val")
+    hr_v, lr_v = tv(hr, lr)
+    assert hr_v.shape == hr.shape and lr_v.shape == lr.shape
+
+
+def test_to_array():
+    img = (np.ones((4, 4, 3)) * 128).astype(np.uint8)
+    arr = to_array(img)
+    assert arr.dtype == np.float32 and abs(arr[0, 0, 0] - 128 / 255) < 1e-6
