@@ -34,11 +34,15 @@ def main() -> None:
     params = fen.init(jax.random.PRNGKey(0), cfg)
 
     dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
+    on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else None
     batch = 32 if on_tpu else 4
 
-    fwd = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False, dtype=dtype))
+    # The forward reduces to a scalar on-device: fetching that scalar forces
+    # full execution (block_until_ready is unreliable on tunneled platforms
+    # and fetching the 25MB image output would time the transfer, not the
+    # compute).
+    fwd = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False, dtype=dtype).sum())
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 64, 64, 3), dtype=np.float32))
@@ -46,14 +50,14 @@ def main() -> None:
     x = jax.device_put(x, dev)
 
     # Warmup / compile
-    fwd(params, x).block_until_ready()
-    fwd(params, x).block_until_ready()
+    float(fwd(params, x))
+    float(fwd(params, x))
 
     iters = 30 if on_tpu else 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, x)
-    out.block_until_ready()
+    float(out)  # device queue is in-order: last scalar gates all iters
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
