@@ -7,10 +7,36 @@ from facesr.models.face_enhance_net import (
     FaceEnhanceNetLite,
     create_face_enhance_net,
 )
+from facesr.models.esrgan import (
+    RRDBNet,
+    RRDBNetConfig,
+    ESRGANBaseline,
+    create_esrgan_baseline,
+)
+from facesr.models.transfer import (
+    TransferSRModel,
+    TransferModelConfig,
+    TrainingStage,
+    create_transfer_model,
+)
+from facesr.models.discriminator import (
+    DiscriminatorConfig,
+    create_discriminator,
+)
 
 __all__ = [
     "FaceEnhanceNet",
     "FaceEnhanceNetConfig",
     "FaceEnhanceNetLite",
     "create_face_enhance_net",
+    "RRDBNet",
+    "RRDBNetConfig",
+    "ESRGANBaseline",
+    "create_esrgan_baseline",
+    "TransferSRModel",
+    "TransferModelConfig",
+    "TrainingStage",
+    "create_transfer_model",
+    "DiscriminatorConfig",
+    "create_discriminator",
 ]

@@ -1,0 +1,189 @@
+"""ESRGAN / RRDBNet baseline, TPU-native.
+
+Re-design of reference `src/models/esrgan.py:17-260`: RRDBNet with N RRDB
+blocks (each = 3 residual dense blocks, x0.2 residual scaling), nearest-x2
+upsampling convs, LeakyReLU(0.2). The 23 identical RRDBs are stacked along
+a leading axis and driven by `lax.scan` (flat compile time); each RRDB's 3
+RDBs are unrolled (heterogeneous dense wiring inside).
+
+The reference downloads RealESRGAN_x4plus weights from GitHub
+(esrgan.py:113-117,165-191); this environment has no egress, so
+`ESRGANBaseline` loads converted weights from a local path
+(`facesr.ckpt.convert.convert_rrdbnet_state_dict` imports the official
+.pth) and otherwise warns and runs randomly initialized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from facesr.ops import conv2d, leaky_relu, nearest_up
+from facesr.ops import init as finit
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class RRDBNetConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    num_feat: int = 64
+    num_blocks: int = 23
+    num_grow_ch: int = 32
+    scale: int = 4
+
+
+def _init_conv(key, shape, scale=0.1):
+    """ESRGAN-style init: Kaiming fan_in (leaky 0.2-ish) scaled by 0.1, the
+    standard RRDB initialization (reference blocks use scaled init)."""
+    return finit.kaiming_normal(key, shape, mode="fan_in", nonlinearity="leaky_relu",
+                                a=0.2, scale=scale)
+
+
+def _init_rdb(key, nf: int, gc: int) -> Params:
+    ks = jax.random.split(key, 5)
+    chans = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    outs = [gc, gc, gc, gc, nf]
+    p = {}
+    for i in range(5):
+        p[f"conv{i + 1}_w"] = _init_conv(ks[i], (3, 3, chans[i], outs[i]))
+        p[f"conv{i + 1}_b"] = jnp.zeros((outs[i],))
+    return p
+
+
+def _rdb(p: Params, x: jax.Array) -> jax.Array:
+    """Residual dense block: 5 convs with dense concatenation, x0.2 skip."""
+    x1 = leaky_relu(conv2d(x, p["conv1_w"], p["conv1_b"], padding=1), 0.2)
+    x2 = leaky_relu(conv2d(jnp.concatenate([x, x1], -1), p["conv2_w"], p["conv2_b"], padding=1), 0.2)
+    x3 = leaky_relu(conv2d(jnp.concatenate([x, x1, x2], -1), p["conv3_w"], p["conv3_b"], padding=1), 0.2)
+    x4 = leaky_relu(conv2d(jnp.concatenate([x, x1, x2, x3], -1), p["conv4_w"], p["conv4_b"], padding=1), 0.2)
+    x5 = conv2d(jnp.concatenate([x, x1, x2, x3, x4], -1), p["conv5_w"], p["conv5_b"], padding=1)
+    return x + 0.2 * x5
+
+
+def init_rrdb(key, nf: int, gc: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"rdb1": _init_rdb(k1, nf, gc), "rdb2": _init_rdb(k2, nf, gc), "rdb3": _init_rdb(k3, nf, gc)}
+
+
+def rrdb(p: Params, x: jax.Array) -> jax.Array:
+    """RRDB = 3 RDBs, x0.2 block skip (reference esrgan.py:69-103)."""
+    out = _rdb(p["rdb1"], x)
+    out = _rdb(p["rdb2"], out)
+    out = _rdb(p["rdb3"], out)
+    return x + 0.2 * out
+
+
+def init(key: jax.Array, cfg: RRDBNetConfig = RRDBNetConfig()) -> Params:
+    keys = jax.random.split(key, cfg.num_blocks + 6)
+    body = [init_rrdb(keys[i], cfg.num_feat, cfg.num_grow_ch) for i in range(cfg.num_blocks)]
+    body_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *body)
+    nf = cfg.num_feat
+    return {
+        "conv_first": {"w": _init_conv(keys[-6], (3, 3, cfg.in_channels, nf), scale=1.0),
+                       "b": jnp.zeros((nf,))},
+        "body": body_stacked,
+        "conv_body": {"w": _init_conv(keys[-5], (3, 3, nf, nf), scale=1.0), "b": jnp.zeros((nf,))},
+        "conv_up1": {"w": _init_conv(keys[-4], (3, 3, nf, nf), scale=1.0), "b": jnp.zeros((nf,))},
+        "conv_up2": {"w": _init_conv(keys[-3], (3, 3, nf, nf), scale=1.0), "b": jnp.zeros((nf,))},
+        "conv_hr": {"w": _init_conv(keys[-2], (3, 3, nf, nf), scale=1.0), "b": jnp.zeros((nf,))},
+        "conv_last": {"w": _init_conv(keys[-1], (3, 3, nf, cfg.out_channels), scale=1.0),
+                      "b": jnp.zeros((cfg.out_channels,))},
+    }
+
+
+def apply(params: Params, x: jax.Array, cfg: RRDBNetConfig = RRDBNetConfig(),
+          train: bool = False, dtype=None) -> jax.Array:
+    """RRDBNet forward: trunk (scanned RRDBs) + nearest-x2 upsample stages
+    (reference esrgan.py:17-66). x: NHWC in [0,1]."""
+    h = x.astype(dtype) if dtype is not None else x
+    feat = conv2d(h, params["conv_first"]["w"], params["conv_first"]["b"], padding=1)
+
+    def body_fn(f, bp):
+        return rrdb(bp, f), None
+
+    body_feat, _ = lax.scan(body_fn, feat, params["body"])
+    body_feat = conv2d(body_feat, params["conv_body"]["w"], params["conv_body"]["b"], padding=1)
+    feat = feat + body_feat
+
+    feat = leaky_relu(conv2d(nearest_up(feat, 2), params["conv_up1"]["w"], params["conv_up1"]["b"], padding=1), 0.2)
+    feat = leaky_relu(conv2d(nearest_up(feat, 2), params["conv_up2"]["w"], params["conv_up2"]["b"], padding=1), 0.2)
+    feat = leaky_relu(conv2d(feat, params["conv_hr"]["w"], params["conv_hr"]["b"], padding=1), 0.2)
+    out = conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"], padding=1)
+    return out.astype(jnp.float32)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+class RRDBNet:
+    """Stateful wrapper mirroring the reference class surface."""
+
+    def __init__(self, config: Optional[RRDBNetConfig] = None,
+                 params: Optional[Params] = None, seed: int = 0, **kwargs):
+        cfg = config or RRDBNetConfig()
+        for k, v in kwargs.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+        self.config = cfg
+        self.params = params if params is not None else init(jax.random.PRNGKey(seed), cfg)
+        self._jitted = jax.jit(lambda p, x: apply(p, x, cfg, train=False))
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self._jitted(self.params, x)
+
+
+class ESRGANBaseline:
+    """Frozen pretrained baseline wrapper (reference esrgan.py:106-260).
+
+    Without converted RealESRGAN weights (no network egress here) it warns
+    and runs random-init — outputs are then not meaningful as a baseline,
+    matching how the reference degrades when its download fails.
+    """
+
+    def __init__(self, weights_path: Optional[str] = None, scale: int = 4):
+        self.config = RRDBNetConfig(scale=scale)
+        self.model = RRDBNet(self.config)
+        self.pretrained = False
+        if weights_path:
+            from facesr.ckpt import load_checkpoint
+
+            tree, _ = load_checkpoint(weights_path)
+            params = jax.tree.map(jnp.asarray, tree["params"])
+            if isinstance(params.get("body"), dict) and "rdb1" not in params["body"]:
+                # restored dict-of-index from msgpack: restack
+                params["body"] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[params["body"][k] for k in sorted(params["body"], key=int)],
+                )
+            self.model.params = params
+            self.pretrained = True
+        else:
+            print("Warning: no RealESRGAN weights provided; ESRGANBaseline "
+                  "runs randomly initialized (convert official weights with "
+                  "facesr.ckpt.convert.convert_rrdbnet_state_dict).")
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.clip(self.model(x), 0.0, 1.0)
+
+    def inference(self, image_uint8: np.ndarray) -> np.ndarray:
+        """HWC uint8 -> SR HWC uint8 (reference esrgan.py:205-231)."""
+        x = jnp.asarray(image_uint8[None].astype(np.float32) / 255.0)
+        out = np.asarray(self(x))[0]
+        return (np.clip(out, 0, 1) * 255).round().astype(np.uint8)
+
+    def inference_batch(self, images_uint8: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(images_uint8.astype(np.float32) / 255.0)
+        out = np.asarray(self(x))
+        return (np.clip(out, 0, 1) * 255).round().astype(np.uint8)
+
+
+def create_esrgan_baseline(weights_path: Optional[str] = None, **kwargs) -> ESRGANBaseline:
+    return ESRGANBaseline(weights_path=weights_path, **kwargs)
