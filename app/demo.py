@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Gradio serving demo — same interface as reference `app/demo.py`.
+
+Loads every checkpoint in `checkpoints/`, serves side-by-side comparisons
+vs Bicubic/Lanczos4 with live PSNR/SSIM(/LPIPS) on :7860. Input-size
+heuristic matches the reference (app/demo.py:244-266): images <= 128 px are
+treated as already-LR; larger inputs are center-cropped to 256 and a 64 px
+LR is synthesized with the trainer-parity bicubic.
+
+gradio is optional (not in this image) — the module degrades to a CLI
+single-image mode so the serving path stays testable.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+project_root = Path(__file__).parent.parent
+sys.path.insert(0, str(project_root))
+
+import numpy as np
+import cv2
+
+try:
+    import gradio as gr
+
+    GRADIO_AVAILABLE = True
+except ImportError:
+    GRADIO_AVAILABLE = False
+
+LR_SIZE = 64
+HR_SIZE = 256
+
+
+def load_models_from_checkpoints(checkpoint_dir: str = "checkpoints") -> dict:
+    """Every *.fckpt in the dir, keyed by friendly name (reference :126-152)."""
+    import jax
+    from facesr.ckpt import load_model
+    from facesr.models.face_enhance_net import FaceEnhanceNet
+
+    models = {}
+    for path in sorted(Path(checkpoint_dir).glob("*.fckpt")):
+        try:
+            cfg, params = load_model(str(path))
+            params = jax.tree.map(np.asarray, params)
+            name = path.stem.replace("_", " ").title()
+            models[name] = FaceEnhanceNet(config=cfg, params=params)
+            print(f"Loaded {name} ({cfg.num_groups}x{cfg.blocks_per_group}x{cfg.num_channels})")
+        except Exception as e:
+            print(f"Skipping {path}: {e}")
+    return models
+
+
+def _metrics(sr_uint8: np.ndarray, hr_uint8: np.ndarray, lpips_fn=None) -> dict:
+    from facesr.evaluation import peak_signal_noise_ratio, structural_similarity
+
+    m = {
+        "psnr": peak_signal_noise_ratio(hr_uint8, sr_uint8, data_range=255),
+        "ssim": structural_similarity(hr_uint8, sr_uint8, data_range=255, channel_axis=-1),
+    }
+    if lpips_fn is not None and lpips_fn.available:
+        import jax.numpy as jnp
+
+        m["lpips"] = float(lpips_fn(
+            jnp.asarray(sr_uint8[None].astype(np.float32) / 255.0),
+            jnp.asarray(hr_uint8[None].astype(np.float32) / 255.0),
+        ))
+    return m
+
+
+def prepare_inputs(image_rgb: np.ndarray):
+    """Input-size heuristic (reference :244-266): small inputs are LR
+    (no ground truth); large inputs are center-cropped to 256 HR and a 64 LR
+    is synthesized. Returns (lr_float, hr_uint8_or_None)."""
+    import jax.numpy as jnp
+    from facesr.ops import bicubic_down
+
+    h, w = image_rgb.shape[:2]
+    if max(h, w) <= 2 * LR_SIZE:
+        lr = cv2.resize(image_rgb, (LR_SIZE, LR_SIZE), interpolation=cv2.INTER_AREA) \
+            if (h, w) != (LR_SIZE, LR_SIZE) else image_rgb
+        return lr.astype(np.float32) / 255.0, None
+
+    side = min(h, w)
+    top, left = (h - side) // 2, (w - side) // 2
+    hr = image_rgb[top:top + side, left:left + side]
+    if side != HR_SIZE:
+        hr = cv2.resize(hr, (HR_SIZE, HR_SIZE), interpolation=cv2.INTER_AREA)
+    lr = np.asarray(bicubic_down(jnp.asarray(hr[None].astype(np.float32) / 255.0), 4))[0]
+    return lr, hr
+
+
+def process_image(image_rgb: np.ndarray, model, lpips_fn=None):
+    """SR vs OpenCV baselines + metric text (reference :268-359)."""
+    import jax.numpy as jnp
+
+    lr, hr = prepare_inputs(image_rgb)
+    sr = np.asarray(model(jnp.asarray(lr[None])))[0]
+    sr_uint8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+    lr_uint8 = (np.clip(lr, 0, 1) * 255).round().astype(np.uint8)
+    out_size = (sr_uint8.shape[1], sr_uint8.shape[0])
+    bicubic = cv2.resize(lr_uint8, out_size, interpolation=cv2.INTER_CUBIC)
+    lanczos = cv2.resize(lr_uint8, out_size, interpolation=cv2.INTER_LANCZOS4)
+
+    text = "No ground truth (input treated as LR) — metrics unavailable."
+    if hr is not None:
+        rows = []
+        for name, img in (("Bicubic", bicubic), ("Lanczos4", lanczos), ("Model", sr_uint8)):
+            m = _metrics(img, hr, lpips_fn)
+            row = f"{name}: PSNR {m['psnr']:.2f} dB, SSIM {m['ssim']:.4f}"
+            if "lpips" in m:
+                row += f", LPIPS {m['lpips']:.4f}"
+            rows.append(row)
+        text = "\n".join(rows)
+
+    return {"lr": lr_uint8, "bicubic": bicubic, "lanczos": lanczos,
+            "sr": sr_uint8, "hr": hr, "metrics_text": text}
+
+
+def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None):
+    """Build the Gradio Blocks UI (reference :396-501)."""
+    from facesr.evaluation.metrics import LPIPS
+
+    models = load_models_from_checkpoints(checkpoint_dir)
+    if not models:
+        raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
+    lpips_fn = LPIPS()
+    model_names = list(models)
+
+    samples = []
+    if sample_dir and Path(sample_dir).exists():
+        samples = [str(p) for p in sorted(Path(sample_dir).glob("*.png"))[:16]]
+
+    def run(image, model_name):
+        if image is None:
+            return None, None, None, "Upload an image first."
+        res = process_image(image, models[model_name], lpips_fn)
+        return res["bicubic"], res["sr"], res["hr"], res["metrics_text"]
+
+    with gr.Blocks(title="Face Super-Resolution (TPU)") as demo:
+        gr.Markdown("# Face Super-Resolution — 4x (64 -> 256), TPU-native")
+        with gr.Row():
+            with gr.Column():
+                inp = gr.Image(label="Input image (LR or HR)", type="numpy")
+                model_sel = gr.Dropdown(model_names, value=model_names[0], label="Model")
+                btn = gr.Button("Enhance")
+                if samples:
+                    gr.Examples(samples, inputs=inp, label="Validation samples")
+            with gr.Column():
+                out_bicubic = gr.Image(label="Bicubic")
+                out_sr = gr.Image(label="Super-Resolution")
+                out_hr = gr.Image(label="Ground truth (if available)")
+                out_text = gr.Textbox(label="Metrics")
+        btn.click(run, inputs=[inp, model_sel],
+                  outputs=[out_bicubic, out_sr, out_hr, out_text])
+    return demo
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Face SR demo server")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--sample-dir", type=str, default="data/processed/val/HR")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--share", action="store_true")
+    parser.add_argument("--image", type=str, default=None,
+                        help="Headless mode: process one image and exit "
+                             "(works without gradio)")
+    parser.add_argument("--output", type=str, default="outputs/demo")
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.image:
+        from facesr.evaluation.metrics import LPIPS
+
+        models = load_models_from_checkpoints(args.checkpoint_dir)
+        if not models:
+            print(f"No checkpoints in {args.checkpoint_dir}")
+            return
+        name = next(iter(models))
+        img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
+        res = process_image(img, models[name], LPIPS())
+        out = Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        for key in ("lr", "bicubic", "lanczos", "sr"):
+            cv2.imwrite(str(out / f"{key}.png"),
+                        cv2.cvtColor(res[key], cv2.COLOR_RGB2BGR))
+        print(f"[{name}]\n{res['metrics_text']}")
+        print(f"Outputs in {out}")
+        return
+
+    if not GRADIO_AVAILABLE:
+        print("gradio is not installed; use --image for headless mode.")
+        return
+    demo = create_demo(args.checkpoint_dir, args.sample_dir)
+    demo.launch(server_port=args.port, share=args.share)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,16 @@ def infer_model_config_from_params(params: Any):
     )
 
 
+def _restore_list_nodes(tree: Any) -> Any:
+    """msgpack restores python lists as {'0': ..., '1': ...} dicts; convert
+    any all-integer-keyed dict back to a list (e.g. upsample stages)."""
+    if isinstance(tree, dict):
+        if tree and all(isinstance(k, str) and k.isdigit() for k in tree):
+            return [_restore_list_nodes(tree[k]) for k in sorted(tree, key=int)]
+        return {k: _restore_list_nodes(v) for k, v in tree.items()}
+    return tree
+
+
 def load_model(path: str, model_type: str = "custom"):
     """Load (config, params) from a model or trainer checkpoint."""
     tree, meta = load_checkpoint(path)
@@ -110,21 +120,32 @@ def load_model(path: str, model_type: str = "custom"):
     else:
         raise ValueError(f"No model params found in checkpoint {path}")
     params = jax.tree.map(lambda x: np.asarray(x), params)
-    # upsample stages may come back as a dict {'0': ..., '1': ...} from
-    # msgpack restore of a list — normalize to a list
-    if isinstance(params.get("upsample"), dict):
-        params["upsample"] = [params["upsample"][k] for k in sorted(params["upsample"], key=int)]
+    params = _restore_list_nodes(params)
 
-    cfg_dict = meta.get("config")
+    # Trainer checkpoints carry the architecture under 'model_config'
+    # ('config' is the TrainerConfig); model-only checkpoints use 'config'.
+    cfg_dict = meta.get("model_config") or meta.get("config")
     mtype = meta.get("model_type", model_type)
     if mtype in ("custom", "lite"):
         from facesr.models.face_enhance_net import FaceEnhanceNetConfig
 
-        if cfg_dict:
-            known = {k: v for k, v in cfg_dict.items()
-                     if k in FaceEnhanceNetConfig.__dataclass_fields__}
+        known = {k: v for k, v in (cfg_dict or {}).items()
+                 if k in FaceEnhanceNetConfig.__dataclass_fields__}
+        if known:
             cfg = FaceEnhanceNetConfig(**known)
         else:
             cfg = infer_model_config_from_params(params)
         return cfg, params
+    if mtype == "transfer":
+        from facesr.models.transfer import TransferModelConfig
+
+        known = {k: v for k, v in (cfg_dict or {}).items()
+                 if k in TransferModelConfig.__dataclass_fields__}
+        return TransferModelConfig(**known), params
+    if mtype == "esrgan":
+        from facesr.models.esrgan import RRDBNetConfig
+
+        known = {k: v for k, v in (cfg_dict or {}).items()
+                 if k in RRDBNetConfig.__dataclass_fields__}
+        return RRDBNetConfig(**known), params
     raise ValueError(f"Unsupported model_type: {mtype}")

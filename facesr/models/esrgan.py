@@ -133,7 +133,9 @@ class RRDBNet:
             if hasattr(cfg, k):
                 setattr(cfg, k, v)
         self.config = cfg
+        self.model_type = "esrgan"
         self.params = params if params is not None else init(jax.random.PRNGKey(seed), cfg)
+        self.apply_fn = lambda p, x, train=False, dtype=None: apply(p, x, cfg, train=train, dtype=dtype)
         self._jitted = jax.jit(lambda p, x: apply(p, x, cfg, train=False))
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

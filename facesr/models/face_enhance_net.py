@@ -158,7 +158,9 @@ class FaceEnhanceNet:
         if kwargs:
             cfg = cfg.replace(**kwargs)
         self.config = cfg
+        self.model_type = "custom"
         self.params = params if params is not None else init(jax.random.PRNGKey(seed), cfg)
+        self.apply_fn = lambda p, x, train=False, dtype=None: apply(p, x, cfg, train=train, dtype=dtype)
         self._jitted = jax.jit(
             lambda p, x, train: apply(p, x, cfg, train=train),
             static_argnums=(2,),

@@ -209,11 +209,13 @@ class TransferSRModel:
     def __init__(self, config: Optional[TransferModelConfig] = None,
                  pretrained_path: Optional[str] = None, seed: int = 0):
         self.config = config or TransferModelConfig()
+        self.model_type = "transfer"
         self.params = init(jax.random.PRNGKey(seed), self.config)
         self.current_stage = TrainingStage.STAGE1_HEAD_ONLY
         if pretrained_path:
             self.load_pretrained_backbone(pretrained_path)
         cfg = self.config
+        self.apply_fn = lambda p, x, train=False, dtype=None: apply(p, x, cfg, train=train, dtype=dtype)
         self._jitted = jax.jit(lambda p, x: apply(p, x, cfg, train=False))
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

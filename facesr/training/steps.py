@@ -59,6 +59,8 @@ def set_learning_rate(opt_state: Any, lr: float) -> Any:
             return tuple(visit(f) for f in node)
         if isinstance(node, list):
             return [visit(f) for f in node]
+        if isinstance(node, dict):
+            return {k: visit(v) for k, v in node.items()}
         return node
 
     return visit(opt_state)
@@ -70,9 +72,15 @@ def make_optimizer(
     accumulation_steps: int = 1,
     b1: float = 0.9,
     b2: float = 0.999,
+    param_labels: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW with global-norm clipping and optional accumulation, LR injected
-    as a runtime hyperparameter (reference optimizer: trainer.py:217-221)."""
+    as a runtime hyperparameter (reference optimizer: trainer.py:217-221).
+
+    `param_labels`: optional pytree of 'frozen'/'train' labels (transfer
+    model's progressive unfreezing); frozen leaves get zero updates, the
+    torch-equivalent of requires_grad=False params sitting in the optimizer.
+    """
     parts = []
     if gradient_clip and gradient_clip > 0:
         parts.append(optax.clip_by_global_norm(gradient_clip))
@@ -85,6 +93,10 @@ def make_optimizer(
         )
     )
     tx = optax.chain(*parts)
+    if param_labels is not None:
+        tx = optax.multi_transform(
+            {"frozen": optax.set_to_zero(), "train": tx}, param_labels
+        )
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx

@@ -191,15 +191,31 @@ class Trainer:
         self.n_devices = int(np.prod(self.mesh.devices.shape))
 
         cfgm = self.model_cfg
-        self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
+        if hasattr(model, "apply_fn"):
+            self._model_apply = lambda p, x, train, dtype: model.apply_fn(p, x, train=train, dtype=dtype)
+        else:
+            self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
+        self.model_type = getattr(model, "model_type", "custom")
         self._loss_apply = loss_fn.apply
         self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
 
-        # Optimizers
+        # Optimizers. For the transfer model, frozen leaves (progressive
+        # unfreezing) get zero updates — reference passes requires_grad=False
+        # params into AdamW with the same net effect (train.py:357-365).
+        param_labels = None
+        if self.model_type == "transfer":
+            from facesr.models import transfer as transfer_lib
+
+            labels3 = transfer_lib.param_labels(model.params, model.current_stage)
+            param_labels = jax.tree.map(
+                lambda l: "frozen" if l == "frozen" else "train", labels3,
+                is_leaf=lambda x: isinstance(x, str),
+            )
         self.tx = make_optimizer(
             weight_decay=self.config.weight_decay,
             gradient_clip=self.config.gradient_clip,
             accumulation_steps=self.config.accumulation_steps,
+            param_labels=param_labels,
         )
         opt_state = self.tx.init(model.params)
         opt_state = set_learning_rate(opt_state, self.config.learning_rate)
@@ -463,7 +479,7 @@ class Trainer:
             "training_history": self.training_history,
             "config": asdict(self.config),
             "model_config": asdict(self.model_cfg),
-            "model_type": "custom",
+            "model_type": self.model_type,
             "scheduler_state": self.plateau.state_dict() if self.plateau else None,
             "use_gan": self.use_gan,
         }
@@ -519,6 +535,9 @@ def overfit_test(
     hr_dev = jax.device_put(hr, batch_sharding(mesh))
 
     cfg = model.config
+    scale = getattr(cfg, "scale_factor", getattr(cfg, "scale", 4))
+    apply_fn = (model.apply_fn if hasattr(model, "apply_fn")
+                else (lambda p, x, train=False, dtype=None: fen.apply(p, x, cfg, train=train, dtype=dtype)))
     tx = optax.adam(learning_rate)
     params = replicate(model.params, mesh)
     opt_state = replicate(tx.init(params), mesh)
@@ -527,10 +546,10 @@ def overfit_test(
 
     @jax.jit
     def step(params, opt_state, hr):
-        lr_img = bicubic_down(hr, cfg.scale_factor)
+        lr_img = bicubic_down(hr, scale)
 
         def loss_f(p):
-            sr = fen.apply(p, lr_img, cfg, train=True)
+            sr = apply_fn(p, lr_img, train=True)
             sr = jnp.clip(sr, 0.0, 1.0)
             mse = jnp.mean((sr - hr) ** 2)
             return mse

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Multi-model benchmark vs OpenCV baselines — same interface as reference
+`scripts/compare_two_models.py`.
+
+Auto-discovers all `checkpoints/*.fckpt`, evaluates each against Bilinear /
+Bicubic / Lanczos4 OpenCV baselines with PSNR+SSIM(+LPIPS when weights are
+available) on the test split, writes annotated comparison strips every N
+images and a `results_summary.txt` with vs-best-baseline deltas (reference
+compare_two_models.py:33-37, 95-116, 182-199, 304-334, 337-422).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+project_root = Path(__file__).parent.parent
+sys.path.insert(0, str(project_root))
+
+import numpy as np
+import cv2
+
+OPENCV_BASELINES = {
+    "Bilinear": cv2.INTER_LINEAR,
+    "Bicubic": cv2.INTER_CUBIC,
+    "Lanczos4": cv2.INTER_LANCZOS4,
+}
+
+
+def find_checkpoints(checkpoint_dir: str):
+    """All .fckpt model checkpoints with friendly names (reference :95-116)."""
+    paths = sorted(Path(checkpoint_dir).glob("*.fckpt"))
+    names = {}
+    for p in paths:
+        stem = p.stem
+        friendly = {
+            "best_model": "Best Model",
+            "final_model": "Final Model",
+        }.get(stem, stem.replace("_", " ").title())
+        names[friendly] = p
+    return names
+
+
+def load_any_model(path: Path):
+    """Detect model type from checkpoint metadata and load (reference
+    detects by state-dict key prefix, :131-147; ours is self-describing)."""
+    import jax
+    from facesr.ckpt import load_checkpoint, load_model
+
+    _, meta = load_checkpoint(str(path))
+    mtype = meta.get("model_type", "custom")
+    if mtype in ("custom", "lite"):
+        from facesr.models.face_enhance_net import FaceEnhanceNet
+
+        cfg, params = load_model(str(path))
+        return FaceEnhanceNet(config=cfg, params=params)
+    raise ValueError(f"Cannot load model type {mtype} from {path}")
+
+
+def compute_metrics(sr_uint8, hr_uint8, lpips_fn=None):
+    from facesr.evaluation import peak_signal_noise_ratio, structural_similarity
+
+    m = {
+        "psnr": peak_signal_noise_ratio(hr_uint8, sr_uint8, data_range=255),
+        "ssim": structural_similarity(hr_uint8, sr_uint8, data_range=255, channel_axis=-1),
+    }
+    if lpips_fn is not None and lpips_fn.available:
+        import jax.numpy as jnp
+
+        a = jnp.asarray(sr_uint8[None].astype(np.float32) / 255.0)
+        b = jnp.asarray(hr_uint8[None].astype(np.float32) / 255.0)
+        m["lpips"] = float(lpips_fn(a, b))
+    return m
+
+
+def annotate(img, label):
+    out = img.copy()
+    cv2.putText(out, label, (5, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                (255, 255, 255), 2, cv2.LINE_AA)
+    cv2.putText(out, label, (5, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                (0, 0, 0), 1, cv2.LINE_AA)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Compare SR models vs OpenCV baselines")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--test-dir", type=str, default="data/processed/test/HR")
+    parser.add_argument("--output", type=str, default="outputs/compare_models")
+    parser.add_argument("--num-images", type=int, default=100)
+    parser.add_argument("--save-every", type=int, default=20,
+                        help="Save a comparison strip every N images")
+    parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force JAX platform (e.g. cpu)")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    from facesr.ops import bicubic_down
+    from facesr.evaluation.metrics import LPIPS
+
+    checkpoints = find_checkpoints(args.checkpoint_dir)
+    models = {}
+    for name, path in checkpoints.items():
+        try:
+            models[name] = load_any_model(path)
+            print(f"Loaded {name} from {path}")
+        except Exception as e:
+            print(f"Skipping {path}: {e}")
+
+    lpips_fn = LPIPS(verbose=True)
+
+    files = sorted(Path(args.test_dir).glob("*.png"))[: args.num_images]
+    if not files:
+        print(f"No test images in {args.test_dir}")
+        return
+    print(f"\nEvaluating on {len(files)} images...\n")
+
+    methods = list(OPENCV_BASELINES) + list(models)
+    all_metrics = {m: {"psnr": [], "ssim": [], "lpips": []} for m in methods}
+    out_dir = Path(args.output)
+    (out_dir / "samples").mkdir(parents=True, exist_ok=True)
+
+    for i, f in enumerate(files):
+        hr = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+        lr_f = np.asarray(bicubic_down(
+            jnp.asarray(hr[None].astype(np.float32) / 255.0), args.scale))[0]
+        lr_uint8 = (np.clip(lr_f, 0, 1) * 255).round().astype(np.uint8)
+
+        outputs = {}
+        for name, interp in OPENCV_BASELINES.items():
+            outputs[name] = cv2.resize(lr_uint8, (hr.shape[1], hr.shape[0]),
+                                       interpolation=interp)
+        for name, model in models.items():
+            sr = np.asarray(model(jnp.asarray(lr_f[None])))[0]
+            outputs[name] = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+
+        for name, out in outputs.items():
+            m = compute_metrics(out, hr, lpips_fn)
+            for k, v in m.items():
+                all_metrics[name][k].append(v)
+
+        if args.save_every and i % args.save_every == 0:
+            strip = np.hstack([annotate(outputs[m], m) for m in methods] + [annotate(hr, "GT")])
+            cv2.imwrite(str(out_dir / "samples" / f"compare_{i:04d}.png"),
+                        cv2.cvtColor(strip, cv2.COLOR_RGB2BGR))
+
+        if (i + 1) % 25 == 0:
+            print(f"  {i + 1}/{len(files)}")
+
+    # Summary
+    has_lpips = lpips_fn.available
+    lines = []
+    header = f"{'Method':<16} {'PSNR (dB)':<12} {'SSIM':<10}" + (" LPIPS" if has_lpips else "")
+    lines.append(header)
+    lines.append("-" * len(header))
+    summary = {}
+    for name in methods:
+        p = float(np.mean(all_metrics[name]["psnr"]))
+        s = float(np.mean(all_metrics[name]["ssim"]))
+        row = f"{name:<16} {p:<12.2f} {s:<10.4f}"
+        summary[name] = {"psnr": p, "ssim": s}
+        if has_lpips:
+            l = float(np.mean(all_metrics[name]["lpips"]))
+            row += f" {l:.4f}"
+            summary[name]["lpips"] = l
+        lines.append(row)
+
+    best_baseline = max(OPENCV_BASELINES, key=lambda n: summary[n]["psnr"])
+    lines.append("")
+    lines.append(f"Best baseline: {best_baseline}")
+    for name in models:
+        dp = summary[name]["psnr"] - summary[best_baseline]["psnr"]
+        ds = summary[name]["ssim"] - summary[best_baseline]["ssim"]
+        delta = f"{name} vs {best_baseline}: {dp:+.2f} dB PSNR, {ds:+.4f} SSIM"
+        if has_lpips:
+            dl = summary[name]["lpips"] - summary[best_baseline]["lpips"]
+            delta += f", {dl:+.4f} LPIPS"
+        lines.append(delta)
+
+    report = "\n".join(lines)
+    print("\n" + report)
+    (out_dir / "results_summary.txt").write_text(report + "\n")
+    print(f"\nSummary saved to {out_dir / 'results_summary.txt'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Model evaluation CLI (single image or directory) — same interface as
+reference `scripts/test_model.py`.
+
+Usage:
+    python scripts/test_model.py --checkpoint checkpoints/best_model.fckpt \
+        --input data/processed/test/HR --output outputs/test
+
+LR synthesis matches the trainer exactly (on-device PyTorch-parity bicubic
+x0.25 — reference test_model.py:139-156); metrics are skimage-compatible
+PSNR/SSIM on uint8 range-255 images (reference :193-202); a bicubic
+(cv2.INTER_CUBIC) baseline is reported alongside (reference :231-233).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+project_root = Path(__file__).parent.parent
+sys.path.insert(0, str(project_root))
+
+import numpy as np
+import cv2
+
+
+def load_model(checkpoint_path: str):
+    """Load a facesr checkpoint; architecture comes from checkpoint metadata
+    (with shape inference as fallback — checkpoints are self-describing)."""
+    import jax
+    from facesr.ckpt import load_model as ckpt_load_model
+    from facesr.models.face_enhance_net import FaceEnhanceNet
+
+    cfg, params = ckpt_load_model(checkpoint_path)
+    params = jax.tree.map(lambda x: np.asarray(x), params)
+    model = FaceEnhanceNet(config=cfg, params=params)
+    print(f"Loaded model: {cfg.num_groups} groups x {cfg.blocks_per_group} blocks, "
+          f"{cfg.num_channels} channels")
+    return model
+
+
+def generate_lr(hr_uint8: np.ndarray, scale: int = 4) -> np.ndarray:
+    """Trainer-matched LR synthesis: float [0,1], PyTorch-parity bicubic
+    downsample (NOT cv2) — reference test_model.py:139-156."""
+    import jax.numpy as jnp
+    from facesr.ops import bicubic_down
+
+    hr = hr_uint8.astype(np.float32) / 255.0
+    lr = bicubic_down(jnp.asarray(hr[None]), scale)
+    return np.asarray(lr)[0]
+
+
+def compute_metrics(sr_uint8: np.ndarray, hr_uint8: np.ndarray) -> dict:
+    """skimage-compatible PSNR/SSIM at data_range=255 (reference :193-202)."""
+    from facesr.evaluation import peak_signal_noise_ratio, structural_similarity
+
+    return {
+        "psnr": peak_signal_noise_ratio(hr_uint8, sr_uint8, data_range=255),
+        "ssim": structural_similarity(hr_uint8, sr_uint8, data_range=255, channel_axis=-1),
+    }
+
+
+def test_single_image(model, hr_path: Path, output_dir: Path, scale: int = 4,
+                      save_comparison: bool = True) -> dict:
+    import jax.numpy as jnp
+
+    hr_bgr = cv2.imread(str(hr_path))
+    hr = cv2.cvtColor(hr_bgr, cv2.COLOR_BGR2RGB)
+
+    lr = generate_lr(hr, scale)
+    sr = np.asarray(model(jnp.asarray(lr[None])))[0]
+    sr_uint8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+
+    metrics = compute_metrics(sr_uint8, hr)
+
+    # Bicubic baseline from the same LR (cv2 upsample, reference :231-233)
+    lr_uint8 = (np.clip(lr, 0, 1) * 255).round().astype(np.uint8)
+    bicubic = cv2.resize(lr_uint8, (hr.shape[1], hr.shape[0]), interpolation=cv2.INTER_CUBIC)
+    bicubic_metrics = compute_metrics(bicubic, hr)
+
+    if output_dir is not None:
+        output_dir.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(output_dir / f"{hr_path.stem}_sr.png"),
+                    cv2.cvtColor(sr_uint8, cv2.COLOR_RGB2BGR))
+        if save_comparison:
+            lr_up = cv2.resize(lr_uint8, (hr.shape[1], hr.shape[0]),
+                               interpolation=cv2.INTER_NEAREST)
+            comparison = np.hstack([lr_up, bicubic, sr_uint8, hr])
+            cv2.imwrite(str(output_dir / f"{hr_path.stem}_comparison.png"),
+                        cv2.cvtColor(comparison, cv2.COLOR_RGB2BGR))
+
+    return {"model": metrics, "bicubic": bicubic_metrics, "file": hr_path.name}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Test Face Super-Resolution Model")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--input", type=str, required=True,
+                        help="HR image file or directory")
+    parser.add_argument("--output", type=str, default="outputs/test_results")
+    parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--no-comparison", action="store_true")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force JAX platform (e.g. cpu)")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    model = load_model(args.checkpoint)
+    input_path = Path(args.input)
+    output_dir = Path(args.output)
+
+    if input_path.is_file():
+        files = [input_path]
+    else:
+        files = sorted(input_path.glob("*.png")) or sorted(input_path.glob("*.jpg"))
+    if args.max_images:
+        files = files[: args.max_images]
+    if not files:
+        print(f"No images found at {input_path}")
+        return
+
+    print(f"\nTesting on {len(files)} image(s)...\n")
+    results = []
+    for f in files:
+        r = test_single_image(model, f, output_dir, args.scale,
+                              save_comparison=not args.no_comparison)
+        results.append(r)
+        print(f"{r['file']}: model PSNR {r['model']['psnr']:.2f} dB "
+              f"SSIM {r['model']['ssim']:.4f} | bicubic PSNR "
+              f"{r['bicubic']['psnr']:.2f} dB SSIM {r['bicubic']['ssim']:.4f}")
+
+    m_psnr = np.mean([r["model"]["psnr"] for r in results])
+    m_ssim = np.mean([r["model"]["ssim"] for r in results])
+    b_psnr = np.mean([r["bicubic"]["psnr"] for r in results])
+    b_ssim = np.mean([r["bicubic"]["ssim"] for r in results])
+
+    print("\n" + "=" * 60)
+    print(f"{'Method':<12} {'PSNR (dB)':<12} {'SSIM':<10}")
+    print("-" * 60)
+    print(f"{'Bicubic':<12} {b_psnr:<12.2f} {b_ssim:<10.4f}")
+    print(f"{'Model':<12} {m_psnr:<12.2f} {m_ssim:<10.4f}")
+    print("-" * 60)
+    print(f"vs bicubic: {m_psnr - b_psnr:+.2f} dB PSNR, {m_ssim - b_ssim:+.4f} SSIM")
+    print("=" * 60)
+    print(f"\nResults saved to {output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+#!/usr/bin/env python
+"""Training CLI — same interface as the reference `scripts/train.py`.
+
+Usage:
+    python scripts/train.py --config configs/stages/stage1_psnr_config.yaml
+    python scripts/train.py --model custom --epochs 50
+
+CLI args override YAML which overrides coded defaults (reference
+train.py:152-158). Runs sharded data-parallel over all visible TPU chips.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+project_root = Path(__file__).parent.parent
+sys.path.insert(0, str(project_root))
+
+from facesr.config import load_config, set_seed
+
+
+def create_model(model_type: str, config: dict):
+    """Model factory (reference train.py:57-81)."""
+    from facesr.models import (
+        create_face_enhance_net,
+        create_transfer_model,
+        create_esrgan_baseline,
+    )
+
+    if model_type == "custom":
+        mc = config.get("model", {}).get("custom", {})
+        return create_face_enhance_net(
+            num_channels=mc.get("num_channels", 64),
+            num_groups=mc.get("num_groups", 3),
+            blocks_per_group=mc.get("blocks_per_group", 4),
+            reduction_ratio=mc.get("reduction_ratio", 4),
+            scale_factor=mc.get("upscale_factor", 4),
+            res_scale=mc.get("res_scale", 0.2),
+        )
+    if model_type == "transfer":
+        tc = config.get("model", {}).get("transfer", {})
+        return create_transfer_model(
+            pretrained_path=tc.get("pretrained_path"),
+            backbone_blocks=tc.get("backbone_blocks", 16),
+            freeze_blocks=tc.get("freeze_blocks", 16),
+            head_blocks=tc.get("head_blocks", 4),
+            head_channels=tc.get("head_channels", 64),
+            scale_factor=tc.get("scale_factor", 4),
+        )
+    if model_type == "esrgan":
+        return create_esrgan_baseline()
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Face Super-Resolution Model")
+    parser.add_argument("--config", type=str, default="configs/config.yaml")
+    parser.add_argument("--model", type=str, default=None,
+                        choices=["custom", "transfer", "esrgan"])
+    parser.add_argument("--data-root", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--gradient-clip", type=float, default=None)
+    parser.add_argument("--perceptual-weight", type=float, default=None)
+    parser.add_argument("--patience", type=int, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--fine-tune", action="store_true",
+                        help="Fine-tune mode: load weights only, reset optimizer/scheduler")
+    parser.add_argument("--overfit-test", action="store_true")
+    parser.add_argument("--no-wandb", action="store_true")
+    parser.add_argument("--yes", action="store_true",
+                        help="Skip interactive prompts (CI / headless runs)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force JAX platform (e.g. cpu) — the env's TPU "
+                             "plugin ignores JAX_PLATFORMS")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    config = {}
+    if Path(args.config).exists():
+        config = load_config(args.config)
+        print(f"Loaded config from {args.config}")
+
+    project_config = config.get("project", {})
+    data_config = config.get("data", {})
+    training_config = config.get("training", {})
+    loss_config = config.get("loss", {})
+    checkpoint_config = config.get("checkpoint", {})
+    logging_config = config.get("logging", {})
+
+    set_seed(project_config.get("seed", 42))
+
+    batch_size = args.batch_size or data_config.get("batch_size", 16)
+    epochs = args.epochs or training_config.get("epochs", 50)
+    lr = args.lr or training_config.get("optimizer", {}).get("lr", 1e-4)
+    data_root = args.data_root or data_config.get("data_root", "data/processed")
+    model_type = args.model or config.get("model", {}).get("type", "custom")
+
+    import jax
+
+    print(f"\n{'=' * 60}")
+    print("Face Super-Resolution Training (TPU-native)")
+    print(f"{'=' * 60}")
+    print(f"Model: {model_type}")
+    print(f"Epochs: {epochs}")
+    print(f"Batch size: {batch_size}")
+    print(f"Learning rate: {lr}")
+    print(f"Devices: {len(jax.devices())}x {jax.devices()[0].platform}")
+    print(f"Data root: {data_root}")
+    print(f"{'=' * 60}\n")
+
+    from facesr.data import get_dataloader
+    from facesr.losses import create_loss_function
+    from facesr.models.discriminator import create_discriminator
+    from facesr.training import Trainer, TrainerConfig, overfit_test
+
+    print("Creating data loaders...")
+    aug_config = config.get("augmentation", {})
+    color_jitter = aug_config.get("color_jitter", {})
+    train_loader = get_dataloader(
+        data_root,
+        mode="train",
+        batch_size=batch_size,
+        num_workers=data_config.get("num_workers", 4),
+        hr_patch_size=aug_config.get("random_crop", {}).get("hr_patch_size", 128),
+        horizontal_flip=aug_config.get("horizontal_flip", 0.5),
+        random_rotate90=aug_config.get("random_rotate90", 0.0),
+        color_jitter_prob=color_jitter.get("probability", 0.3),
+        brightness=color_jitter.get("brightness", 0.1),
+        contrast=color_jitter.get("contrast", 0.1),
+        saturation=color_jitter.get("saturation", 0.0),
+        hue=color_jitter.get("hue", 0.0),
+    )
+    val_loader = get_dataloader(
+        data_root,
+        mode="val",
+        batch_size=batch_size,
+        num_workers=data_config.get("num_workers", 4),
+    )
+    print(f"Train samples: {len(train_loader.dataset)}")
+    print(f"Val samples: {len(val_loader.dataset)}")
+
+    print(f"\nCreating {model_type} model...")
+    model = create_model(model_type, config)
+    if hasattr(model, "get_model_info"):
+        info = model.get_model_info()
+        print(f"Model parameters: {info.get('total_params', 'N/A'):,}")
+
+    print("\nCreating loss function...")
+    perceptual_weight = (args.perceptual_weight if args.perceptual_weight is not None
+                         else loss_config.get("perceptual_weight", 0.01))
+    loss_fn = create_loss_function(
+        l1_weight=loss_config.get("l1_weight", 1.0),
+        perceptual_weight=perceptual_weight,
+        ssim_weight=loss_config.get("ssim_weight", 0.1),
+        use_charbonnier=loss_config.get("use_charbonnier", False),
+        charbonnier_eps=loss_config.get("charbonnier_eps", 1e-3),
+        perceptual_layers=loss_config.get("perceptual", {}).get("layers", ["conv3_4", "conv4_4"]),
+    )
+    print(f"Loss weights: {loss_fn.get_weights()}")
+
+    if args.overfit_test:
+        print("\n" + "=" * 60)
+        print("Running overfitting test...")
+        print("=" * 60)
+        results = overfit_test(model, train_loader, loss_fn,
+                               num_images=10, num_iterations=1000)
+        if not results["converged"]:
+            print("\nWarning: Model did not converge on small batch!")
+            if not args.yes:
+                response = input("Continue with training? [y/N] ")
+                if response.lower() != "y":
+                    print("Training aborted.")
+                    return
+
+    gradient_clip = (args.gradient_clip if args.gradient_clip is not None
+                     else training_config.get("gradient_clip", 1.0))
+    early_stopping_config = training_config.get("early_stopping", {})
+    patience = (args.patience if args.patience is not None
+                else early_stopping_config.get("patience", 10))
+    scheduler_config = training_config.get("scheduler", {})
+    wandb_config = logging_config.get("wandb", {})
+    console_config = logging_config.get("console", {})
+    use_wandb = not args.no_wandb and wandb_config.get("enabled", False)
+
+    gan_config = loss_config.get("gan", {})
+    gan_weight = gan_config.get("weight", 0.0)
+
+    trainer_config = TrainerConfig(
+        epochs=epochs,
+        learning_rate=lr,
+        weight_decay=training_config.get("optimizer", {}).get("weight_decay", 0.0),
+        gradient_clip=gradient_clip,
+        accumulation_steps=training_config.get("accumulation_steps", 1),
+        use_amp=training_config.get("mixed_precision", True),
+        scheduler_type=scheduler_config.get("type", "cosine"),
+        scheduler_T_max=scheduler_config.get("T_max", epochs),
+        scheduler_eta_min=scheduler_config.get("eta_min", 1e-7),
+        scheduler_step_size=scheduler_config.get("step_size", 10),
+        scheduler_gamma=scheduler_config.get("gamma", 0.5),
+        early_stopping_patience=patience,
+        early_stopping_metric=early_stopping_config.get("metric", "val_psnr"),
+        early_stopping_mode=early_stopping_config.get("mode", "max"),
+        checkpoint_dir=checkpoint_config.get("save_dir", "checkpoints"),
+        save_every=checkpoint_config.get("save_every", 10),
+        save_best=checkpoint_config.get("save_best", True),
+        log_every=console_config.get("log_every", 100),
+        log_images_every=wandb_config.get("log_images_every", 5),
+        use_wandb=use_wandb,
+        wandb_project=wandb_config.get("project", "face-super-resolution"),
+        gan_weight=gan_weight,
+        gan_type=gan_config.get("type", "vanilla"),
+        d_learning_rate=gan_config.get("d_lr", 1e-4),
+        d_weight_decay=gan_config.get("d_weight_decay", 0.0),
+        d_updates_per_g=gan_config.get("d_updates_per_g", 1),
+        gan_start_epoch=gan_config.get("start_epoch", 0),
+        scale_factor=data_config.get("scale_factor", 4),
+    )
+
+    discriminator = None
+    if gan_weight > 0:
+        print(f"\nGAN Training Configuration:")
+        print(f"  GAN weight: {gan_weight}, type: {trainer_config.gan_type}")
+        print(f"  D LR: {trainer_config.d_learning_rate}, "
+              f"D updates/G: {trainer_config.d_updates_per_g}")
+        discriminator = create_discriminator(
+            input_size=data_config.get("hr_size", 256),
+            base_channels=gan_config.get("d_channels", 64),
+            use_bn=gan_config.get("d_use_bn", True),
+        )
+
+    trainer = Trainer(
+        model=model,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        loss_fn=loss_fn,
+        config=trainer_config,
+        discriminator=discriminator,
+    )
+
+    resume_path = args.resume or checkpoint_config.get("resume")
+    if resume_path and Path(resume_path).exists():
+        print(f"\nLoading checkpoint from {resume_path}")
+        trainer.load_checkpoint(resume_path, weights_only=args.fine_tune)
+
+    print("\n" + "=" * 60)
+    print("Starting training...")
+    print("=" * 60 + "\n")
+    try:
+        history = trainer.train()
+        print("\n" + "=" * 60)
+        print("Training complete!")
+        print("=" * 60)
+        print(f"\nFinal metrics:")
+        print(f"  Best PSNR: {max(history['val_psnr']):.2f} dB")
+        print(f"  Best SSIM: {max(history['val_ssim']):.4f}")
+    except KeyboardInterrupt:
+        print("\n\nTraining interrupted by user.")
+        print("Saving checkpoint...")
+        trainer.save_checkpoint("interrupted.fckpt")
+        print(f"Checkpoint saved to {trainer_config.checkpoint_dir}/interrupted.fckpt")
+
+
+if __name__ == "__main__":
+    main()
