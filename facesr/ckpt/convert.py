@@ -1,0 +1,240 @@
+"""PyTorch -> facesr weight converters.
+
+Imports reference-format `.pth` checkpoints into facesr pytrees for parity
+testing against published weights (SURVEY.md §5 checkpoint/resume;
+BASELINE.json requires metric parity with the PyTorch checkpoints):
+
+  - FaceEnhanceNet state dicts (reference src/models/custom.py layout)
+  - torchvision VGG19 features (perceptual-loss parity, SURVEY §7 hard #2)
+  - AlexNet + LPIPS linear heads (lpips pip package checkpoint format)
+  - RRDBNet / RealESRGAN_x4plus (params_ema/params formats,
+    reference esrgan.py:165-191)
+
+Layout rules: conv OIHW -> HWIO via transpose(2,3,1,0); dense [out,in] ->
+[in,out] via .T; repeated blocks stacked along leading axes to match the
+scan-stacked parameter layout.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+__all__ = [
+    "convert_face_enhance_net_state_dict",
+    "convert_vgg19_state_dict",
+    "convert_lpips_weights",
+    "convert_rrdbnet_state_dict",
+    "load_torch_state_dict",
+    "convert_pth",
+]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint and return a flat {name: numpy} state dict,
+    unwrapping the common container keys."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model_state_dict", "state_dict", "params_ema", "params"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def _conv(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
+    out = {"w": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["b"] = sd[f"{name}.bias"]
+    return out
+
+
+def convert_face_enhance_net_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference FaceEnhanceNet state dict -> facesr params pytree
+    (stacked [G, B, ...] RCAB leaves for the scanned trunk)."""
+    groups = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"residual_groups\.(\d+)\.", k))})
+    num_groups = len(groups)
+    blocks = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"residual_groups\.0\.blocks\.(\d+)\.", k))})
+    blocks_per_group = len(blocks)
+
+    def rcab(g: int, b: int) -> Dict[str, Any]:
+        pre = f"residual_groups.{g}.blocks.{b}"
+        return {
+            "conv1_w": sd[f"{pre}.conv1.weight"].transpose(2, 3, 1, 0),
+            "conv1_b": sd[f"{pre}.conv1.bias"],
+            "prelu_a": sd[f"{pre}.prelu.weight"],
+            "conv2_w": sd[f"{pre}.conv2.weight"].transpose(2, 3, 1, 0),
+            "conv2_b": sd[f"{pre}.conv2.bias"],
+            "ca": {
+                "fc1_w": sd[f"{pre}.channel_attention.fc.0.weight"].T,
+                "fc2_w": sd[f"{pre}.channel_attention.fc.2.weight"].T,
+            },
+        }
+
+    rcabs = [rcab(g, b) for g in range(num_groups) for b in range(blocks_per_group)]
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *rcabs)
+    stacked = jax.tree.map(
+        lambda a: a.reshape((num_groups, blocks_per_group) + a.shape[1:]), stacked
+    )
+
+    num_stages = len({int(m.group(1)) for k in sd
+                      if (m := re.match(r"upsample\.stages\.(\d+)\.", k))})
+    upsample = []
+    for s in range(num_stages):
+        upsample.append({
+            "conv_w": sd[f"upsample.stages.{s}.conv.weight"].transpose(2, 3, 1, 0),
+            "conv_b": sd[f"upsample.stages.{s}.conv.bias"],
+            "prelu_a": sd[f"upsample.stages.{s}.prelu.weight"],
+        })
+
+    return {
+        "conv_first": _conv(sd, "conv_first"),
+        "groups": {
+            "rcab": stacked,
+            "conv_w": np.stack([
+                sd[f"residual_groups.{g}.conv.weight"].transpose(2, 3, 1, 0)
+                for g in range(num_groups)
+            ]),
+            "conv_b": np.stack([
+                sd[f"residual_groups.{g}.conv.bias"] for g in range(num_groups)
+            ]),
+        },
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "upsample": upsample,
+        "conv_last": _conv(sd, "conv_last"),
+    }
+
+
+# torchvision vgg19.features conv module indices, in depth order
+_VGG19_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+
+
+def convert_vgg19_state_dict(sd: Dict[str, np.ndarray]) -> List[Dict[str, np.ndarray]]:
+    """torchvision vgg19 (full model or .features) -> facesr VGG conv list."""
+    prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+    params = []
+    for idx in _VGG19_CONV_IDX:
+        w_key = f"{prefix}{idx}.weight"
+        if w_key not in sd:
+            break
+        params.append({
+            "w": sd[w_key].transpose(2, 3, 1, 0),
+            "b": sd[f"{prefix}{idx}.bias"],
+        })
+    return params
+
+
+# torchvision alexnet.features conv module indices
+_ALEX_CONV_IDX = [0, 3, 6, 8, 10]
+
+
+def convert_lpips_weights(
+    alexnet_sd: Dict[str, np.ndarray],
+    lpips_sd: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """torchvision alexnet state dict + lpips-pkg alex.pth lin heads ->
+    facesr LPIPS weights pytree."""
+    prefix = "features." if any(k.startswith("features.") for k in alexnet_sd) else ""
+    convs = []
+    for idx in _ALEX_CONV_IDX:
+        convs.append({
+            "w": alexnet_sd[f"{prefix}{idx}.weight"].transpose(2, 3, 1, 0),
+            "b": alexnet_sd[f"{prefix}{idx}.bias"],
+        })
+    lins = []
+    for i in range(5):
+        # lpips pkg: lin{i}.model.1.weight with shape [1, C, 1, 1]
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in lpips_sd:
+                w = lpips_sd[key]
+                break
+        else:
+            raise KeyError(f"lin{i} weight not found in LPIPS state dict")
+        lins.append({"w": w.reshape(w.shape[1], 1)})  # [C, 1]
+    return {"convs": convs, "lins": lins}
+
+
+def convert_rrdbnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """RealESRGAN/ESRGAN RRDBNet state dict -> facesr params (stacked body)."""
+    import jax
+
+    num_blocks = len({int(m.group(1)) for k in sd
+                      if (m := re.match(r"body\.(\d+)\.", k))})
+
+    def rdb(i: int, j: int) -> Dict[str, np.ndarray]:
+        out = {}
+        for c in range(1, 6):
+            pre = f"body.{i}.rdb{j}.conv{c}"
+            out[f"conv{c}_w"] = sd[f"{pre}.weight"].transpose(2, 3, 1, 0)
+            out[f"conv{c}_b"] = sd[f"{pre}.bias"]
+        return out
+
+    body = [{"rdb1": rdb(i, 1), "rdb2": rdb(i, 2), "rdb3": rdb(i, 3)}
+            for i in range(num_blocks)]
+    return {
+        "conv_first": _conv(sd, "conv_first"),
+        "body": jax.tree.map(lambda *xs: np.stack(xs), *body),
+        "conv_body": _conv(sd, "conv_body"),
+        "conv_up1": _conv(sd, "conv_up1"),
+        "conv_up2": _conv(sd, "conv_up2"),
+        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_last": _conv(sd, "conv_last"),
+    }
+
+
+def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
+                extra_pth: Optional[str] = None) -> None:
+    """CLI-style one-shot conversion to a facesr checkpoint file.
+
+    kind: 'custom' | 'vgg19' | 'lpips' (extra_pth = lpips lin heads) |
+    'rrdbnet'.
+    """
+    from facesr.ckpt.checkpoint import save_checkpoint
+
+    sd = load_torch_state_dict(pth_path)
+    if kind == "custom":
+        params = convert_face_enhance_net_state_dict(sd)
+        from facesr.ckpt.checkpoint import infer_model_config_from_params
+        from dataclasses import asdict
+
+        cfg = infer_model_config_from_params(params)
+        save_checkpoint(out_path, {"params": params},
+                        {"model_type": "custom", "config": asdict(cfg),
+                         "converted_from": pth_path})
+    elif kind == "vgg19":
+        save_checkpoint(out_path, {"convs": convert_vgg19_state_dict(sd)},
+                        {"model_type": "vgg19", "converted_from": pth_path})
+    elif kind == "lpips":
+        if extra_pth is None:
+            raise ValueError("lpips conversion needs extra_pth = lpips lin heads .pth")
+        lins_sd = load_torch_state_dict(extra_pth)
+        weights = convert_lpips_weights(sd, lins_sd)
+        save_checkpoint(out_path, weights,
+                        {"model_type": "lpips_alex", "converted_from": pth_path})
+    elif kind == "rrdbnet":
+        save_checkpoint(out_path, {"params": convert_rrdbnet_state_dict(sd)},
+                        {"model_type": "esrgan", "converted_from": pth_path})
+    else:
+        raise ValueError(f"Unknown conversion kind: {kind}")
+    print(f"Converted {pth_path} -> {out_path} ({kind})")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="Convert PyTorch weights to facesr format")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--kind", default="custom",
+                   choices=["custom", "vgg19", "lpips", "rrdbnet"])
+    p.add_argument("--extra", default=None, help="lpips lin-heads .pth")
+    a = p.parse_args()
+    convert_pth(a.input, a.output, a.kind, a.extra)
