@@ -36,7 +36,9 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else None
-    batch = 32 if on_tpu else 4
+    # batch sweep on v5e-1: 32 -> 1184 img/s, 64 -> 1199, 128 -> 2064;
+    # serve at 128 to amortize per-step overhead.
+    batch = 128 if on_tpu else 4
 
     # The forward reduces to a scalar on-device: fetching that scalar forces
     # full execution (block_until_ready is unreliable on tunneled platforms

@@ -1,0 +1,117 @@
+"""Fast HR-only training loader backed by the native batch assembler.
+
+The sharded trainer regenerates LR on-device from the HR batch (reference
+trainer.py:415-421), so the training input pipeline only needs HR crops.
+This loader decodes HR uint8 images with a thread pool (GIL-free cv2) and
+hands the entire crop + flip + normalize + stack step to the C++
+`facesr.native.assemble_hr_batch` (numpy fallback when no toolchain),
+yielding {'hr': [B, crop, crop, 3] float32} batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator
+
+import numpy as np
+
+from facesr.native import assemble_hr_batch
+
+__all__ = ["FastHRLoader"]
+
+_STOP = object()
+
+
+class FastHRLoader:
+    """Iterable of {'hr'} batches from a dataset exposing `_load_images`."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 48,
+        crop: int = 256,
+        flip_prob: float = 0.5,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch_batches: int = 4,
+        seed: int = 0,
+        nthreads: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.crop = crop
+        self.flip_prob = flip_prob
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self.seed = seed
+        self.nthreads = nthreads
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _decode(self, idx: int) -> np.ndarray:
+        hr, _ = self.dataset._load_images(idx)
+        return np.ascontiguousarray(hr)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        order = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(order)
+
+        batches = []
+        for i in range(0, n, self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            batches.append(idx)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
+
+        def produce():
+            try:
+                futures = [
+                    [pool.submit(self._decode, int(i)) for i in idx]
+                    for idx in batches
+                ]
+                for fs, idx in zip(futures, batches):
+                    images = [f.result() for f in fs]
+                    b = len(images)
+                    tops = np.empty(b, np.int32)
+                    lefts = np.empty(b, np.int32)
+                    for j, img in enumerate(images):
+                        h, w = img.shape[:2]
+                        tops[j] = rng.integers(0, max(h - self.crop, 0) + 1)
+                        lefts[j] = rng.integers(0, max(w - self.crop, 0) + 1)
+                    flips = (rng.random(b) < self.flip_prob).astype(np.uint8)
+                    hr = assemble_hr_batch(images, self.crop, tops, lefts,
+                                           flips, nthreads=self.nthreads)
+                    q.put({"hr": hr})
+            except Exception as e:
+                q.put(e)
+            finally:
+                q.put(_STOP)
+
+        threading.Thread(target=produce, daemon=True).start()
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -382,23 +382,27 @@ class Trainer:
         gan_active = self.use_gan and self.current_epoch >= self.config.gan_start_epoch
         step_fn = self._gan_step if gan_active else self._content_step
 
-        totals: Dict[str, float] = {}
+        # Metrics stay on-device during the epoch so steps pipeline without a
+        # per-step host sync (the reference's .item()-per-batch pattern
+        # serializes dispatch; on a tunneled TPU that dominates step time).
+        pending: list = []
         num_batches = 0
         t0 = time.time()
         for batch in self.train_loader:
             hr = self._shard_hr(batch["hr"])
             self.state, metrics = step_fn(self.state, hr)
+            pending.append(metrics)
             num_batches += 1
             self.global_step += 1
             if self.use_wandb and self.global_step % self.config.log_every == 0:
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 wandb.log({f"train/{k}": v for k, v in metrics_host.items()}
                           | {"train/step": self.global_step})
-                totals = {k: totals.get(k, 0.0) + v for k, v in metrics_host.items()}
-            else:
-                # fetch metrics lazily each step (device->host sync once/step)
-                metrics_host = {k: float(v) for k, v in metrics.items()}
-                totals = {k: totals.get(k, 0.0) + v for k, v in metrics_host.items()}
+
+        totals: Dict[str, float] = {}
+        for metrics in pending:
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
 
         out = {k: v / max(num_batches, 1) for k, v in totals.items()}
         out["time_s"] = time.time() - t0
