@@ -199,6 +199,37 @@ def create_gradcam_visualization(
     return fig
 
 
+def create_attention_report(
+    model,
+    lr_image: np.ndarray,
+    save_dir: str,
+    target_layer: str = "group3",
+) -> Dict[str, object]:
+    """Full explainability report for one image (reference
+    evaluation/explainability.py:165-330): Grad-CAM overlays per face
+    region, per-RCAB SE attention statistics (JSON), and an attention-flow
+    panel. Returns the summary dict."""
+    import json
+
+    out = Path(save_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    create_gradcam_visualization(model, lr_image, save_path=str(out / "gradcam_regions.png"),
+                                 target_layer=target_layer)
+    visualize_attention_flow(model, lr_image, save_path=str(out / "attention_flow.png"))
+
+    x = jnp.asarray(lr_image[None] if lr_image.ndim == 3 else lr_image, jnp.float32)
+    summary = AttentionExtractor(model).summary(x)
+    report = {
+        "target_layer": target_layer,
+        "attention_summary": summary,
+        "most_active_block": max(summary, key=lambda k: summary[k]["mean"]),
+        "least_active_block": min(summary, key=lambda k: summary[k]["mean"]),
+    }
+    (out / "attention_report.json").write_text(json.dumps(report, indent=2))
+    return report
+
+
 def visualize_attention_flow(model, lr_image: np.ndarray,
                              save_path: Optional[str] = None):
     """CAMs at every depth (after each residual group) in one panel

@@ -11,6 +11,7 @@ from facesr.evaluation.explainability import (
     AttentionExtractor,
     apply_heatmap,
     create_gradcam_visualization,
+    create_attention_report,
     visualize_attention_flow,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "AttentionExtractor",
     "apply_heatmap",
     "create_gradcam_visualization",
+    "create_attention_report",
     "visualize_attention_flow",
 ]

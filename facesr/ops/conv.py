@@ -42,6 +42,9 @@ def conv2d(
         pad = [(padding, padding), (padding, padding)]
     else:
         pad = padding
+    # No preferred_element_type upcast: XLA:TPU accumulates bf16 convs in
+    # f32 internally regardless, and a f32 primitive output breaks the
+    # conv transpose rule under grad (f32 cotangent vs bf16 operands).
     out = lax.conv_general_dilated(
         x,
         w,
@@ -49,9 +52,7 @@ def conv2d(
         padding=pad,
         dimension_numbers=_DIMSPEC,
         feature_group_count=feature_group_count,
-        preferred_element_type=jnp.float32,
     )
-    out = out.astype(x.dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -76,8 +77,7 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, dtype=None)
     """[N, in] x [in, out] -> [N, out]."""
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

@@ -429,6 +429,15 @@ class Trainer:
                                      save_dir=self.config.log_dir)
             except Exception as e:  # visualization must never kill training
                 print(f"Warning: failed to save validation grid: {e}")
+            # Sample images to W&B every log_images_every epochs
+            # (reference trainer.py:610-617, 667-683).
+            if self.use_wandb and self.current_epoch % self.config.log_images_every == 0:
+                lr_s, sr_s, hr_s = sample
+                wandb.log({
+                    "samples/lr": wandb.Image(np.clip(lr_s[0], 0, 1), caption="Low Resolution"),
+                    "samples/sr": wandb.Image(np.clip(sr_s[0], 0, 1), caption="Super Resolution"),
+                    "samples/hr": wandb.Image(np.clip(hr_s[0], 0, 1), caption="High Resolution"),
+                })
         return metrics
 
     # ------------------------------------------------------------------

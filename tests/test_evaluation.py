@@ -126,3 +126,16 @@ def test_visualize_helpers(tmp_path):
         metrics=("psnr", "ssim"),
     )
     assert "Bicubic" in table and (tmp_path / "t.md").exists()
+
+
+def test_attention_report(tmp_path):
+    from facesr.explainability import create_attention_report
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = jnp.full_like(model.params["conv_last"]["w"], 0.01)
+    x = np.random.default_rng(7).random((8, 8, 3)).astype(np.float32)
+    report = create_attention_report(model, x, str(tmp_path / "report"))
+    assert "most_active_block" in report
+    assert (tmp_path / "report" / "gradcam_regions.png").exists()
+    assert (tmp_path / "report" / "attention_report.json").exists()

@@ -40,13 +40,13 @@ class FakeLoader:
         return len(self.batches)
 
 
-def _make_trainer(tmp_path, gan=False, **cfg_kwargs):
+def _make_trainer(tmp_path, gan=False, use_amp=False, **cfg_kwargs):
     model = fen.FaceEnhanceNet(SMALL)
     loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
     cfg = TrainerConfig(
         epochs=2,
         learning_rate=1e-3,
-        use_amp=False,
+        use_amp=use_amp,
         use_wandb=False,
         checkpoint_dir=str(tmp_path / "ckpt"),
         log_dir=str(tmp_path / "logs"),
@@ -161,3 +161,12 @@ def test_overfit_converges_quickly():
                        learning_rate=1e-3)
     assert res["psnr_history"][-1] > res["psnr_history"][0]
     assert np.isfinite(res["final_loss"])
+
+
+def test_bf16_amp_training_step(tmp_path):
+    # Regression: the bf16 compute policy (use_amp=True) must support
+    # backprop (preferred_element_type upcasts broke the conv transpose).
+    trainer = _make_trainer(tmp_path, use_amp=True)
+    trainer.config.epochs = 1
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
