@@ -52,10 +52,13 @@ def perceptual_loss(
     weights = weights or {l: 1.0 for l in layers}
     idxs = [vgg.LAYER_MAP[l] for l in layers]
 
-    pred_feats = vgg.extract_features(vgg_params, pred, idxs, normalize=normalize)
-    target_feats = vgg.extract_features(
-        vgg_params, jax.lax.stop_gradient(target), idxs, normalize=normalize
+    # Remat the VGG sweep: its 256^2-resolution activations dominate HBM in
+    # the backward pass otherwise (stage-1 batch on v5e OOMs without this).
+    extract = jax.checkpoint(
+        lambda p, x: vgg.extract_features(p, x, idxs, normalize=normalize)
     )
+    pred_feats = extract(vgg_params, pred)
+    target_feats = extract(vgg_params, jax.lax.stop_gradient(target))
 
     loss = jnp.asarray(0.0, jnp.float32)
     for name, idx in zip(layers, idxs):

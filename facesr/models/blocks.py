@@ -144,6 +144,12 @@ def residual_groups(
         h, attn = rcab(rp, h, res_scale, padding)
         return h, (attn if collect_attention else None)
 
+    # Rematerialize each RCAB in the backward pass: without this, backprop
+    # stores every conv activation of the 60-block trunk (HBM OOM at the
+    # production batch size on v5e); with it, only the per-block carry is
+    # kept and the block recomputes during the gradient sweep.
+    rcab_body = jax.checkpoint(rcab_body)
+
     def group_body(feat, gp):
         res = feat
         feat, attns = lax.scan(rcab_body, feat, gp["rcab"])
