@@ -1,0 +1,104 @@
+"""End-to-end CLI smoke tests: prepare -> train -> test -> compare -> demo.
+
+Runs the real scripts in subprocesses on tiny synthetic data (CPU backend),
+locking the full user-facing surface in CI. Mirrors the reference's
+"evaluation scripts as acceptance tests" strategy (SURVEY.md §4).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import cv2
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def run(args, timeout=300):
+    proc = subprocess.run(
+        [sys.executable, "-u"] + args,
+        cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, f"{args}\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-2000:]}"
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    raw = root / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        img = (rng.random((200, 200, 3)) * 255).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (31, 31), 8)
+        cv2.imwrite(str(raw / f"im_{i:03d}.png"), img)
+
+    run(["-m", "facesr.data.prepare_data", "--input", str(raw),
+         "--output", str(root / "processed"), "--hr-size", "64", "--lr-size", "16"])
+
+    cfg = f"""
+project: {{name: e2e, seed: 42}}
+data: {{data_root: "{root / 'processed'}", hr_size: 64, lr_size: 16, scale_factor: 4, batch_size: 4, num_workers: 2}}
+augmentation: {{horizontal_flip: 0.5, random_crop: {{hr_patch_size: 32}}}}
+model: {{type: custom, custom: {{num_channels: 16, num_groups: 1, blocks_per_group: 2, reduction_ratio: 4, upscale_factor: 4}}}}
+loss: {{l1_weight: 1.0, perceptual_weight: 0.0, ssim_weight: 0.0, gan: {{weight: 0.0}}}}
+training:
+  epochs: 1
+  optimizer: {{lr: 0.001, weight_decay: 0.0}}
+  scheduler: {{type: cosine, T_max: 1, eta_min: 1.0e-07}}
+  gradient_clip: 0.5
+  mixed_precision: false
+  early_stopping: {{patience: 30, metric: val_psnr, mode: max}}
+checkpoint: {{save_dir: "{root / 'ckpt'}", save_every: 100, save_best: true}}
+logging: {{wandb: {{enabled: false}}}}
+"""
+    (root / "cfg.yaml").write_text(cfg)
+    return root
+
+
+def test_train_cli(workdir):
+    out = run(["scripts/train.py", "--config", str(workdir / "cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu"])
+    assert "Training complete!" in out
+    assert (workdir / "ckpt" / "final_model.fckpt").exists()
+    assert (workdir / "ckpt" / "best_model.fckpt").exists()
+
+
+def test_test_model_cli(workdir):
+    out = run(["scripts/test_model.py",
+               "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+               "--input", str(workdir / "processed" / "test" / "HR"),
+               "--output", str(workdir / "test_out"),
+               "--platform", "cpu", "--max-images", "2"])
+    assert "vs bicubic" in out
+    assert list((workdir / "test_out").glob("*_sr.png"))
+
+
+def test_compare_cli(workdir):
+    run(["scripts/compare_two_models.py",
+         "--checkpoint-dir", str(workdir / "ckpt"),
+         "--test-dir", str(workdir / "processed" / "test" / "HR"),
+         "--output", str(workdir / "cmp"),
+         "--num-images", "2", "--platform", "cpu"])
+    summary = (workdir / "cmp" / "results_summary.txt").read_text()
+    assert "Bicubic" in summary and "Best Model" in summary
+
+
+def test_demo_headless_cli(workdir):
+    hr = next((workdir / "processed" / "test" / "HR").glob("*.png"))
+    out = run(["app/demo.py", "--checkpoint-dir", str(workdir / "ckpt"),
+               "--image", str(hr), "--output", str(workdir / "demo_out"),
+               "--platform", "cpu"])
+    assert (workdir / "demo_out" / "sr.png").exists()
+
+
+def test_resume_cli(workdir):
+    out = run(["scripts/train.py", "--config", str(workdir / "cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu",
+               "--resume", str(workdir / "ckpt" / "final_model.fckpt"),
+               "--fine-tune"])
+    assert "fine-tuning mode" in out
