@@ -48,11 +48,22 @@ def load_any_model(path: Path):
 
     _, meta = load_checkpoint(str(path))
     mtype = meta.get("model_type", "custom")
+    cfg, params = load_model(str(path), model_type=mtype)
+    params = jax.tree.map(lambda x: x, params)
     if mtype in ("custom", "lite"):
         from facesr.models.face_enhance_net import FaceEnhanceNet
 
-        cfg, params = load_model(str(path))
         return FaceEnhanceNet(config=cfg, params=params)
+    if mtype == "transfer":
+        from facesr.models.transfer import TransferSRModel
+
+        model = TransferSRModel(cfg)
+        model.params = params
+        return model
+    if mtype == "esrgan":
+        from facesr.models.esrgan import RRDBNet
+
+        return RRDBNet(config=cfg, params=params)
     raise ValueError(f"Cannot load model type {mtype} from {path}")
 
 
