@@ -57,6 +57,10 @@ checkpoint: {{save_dir: "{root / 'ckpt'}", save_every: 100, save_best: true}}
 logging: {{wandb: {{enabled: false}}}}
 """
     (root / "cfg.yaml").write_text(cfg)
+    # Train once here so every test (including ones run in isolation) has
+    # checkpoints available; test_train_cli re-runs the CLI deliberately.
+    run(["scripts/train.py", "--config", str(root / "cfg.yaml"),
+         "--no-wandb", "--yes", "--platform", "cpu"])
     return root
 
 
