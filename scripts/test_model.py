@@ -30,6 +30,8 @@ def load_model(checkpoint_path: str):
     from facesr.ckpt import load_model as ckpt_load_model
     from facesr.models.face_enhance_net import FaceEnhanceNet
 
+    if not Path(checkpoint_path).exists():
+        sys.exit(f"Error: checkpoint not found: {checkpoint_path}")
     cfg, params = ckpt_load_model(checkpoint_path)
     params = jax.tree.map(lambda x: np.asarray(x), params)
     model = FaceEnhanceNet(config=cfg, params=params)

@@ -170,3 +170,15 @@ def test_bf16_amp_training_step(tmp_path):
     trainer.config.epochs = 1
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_save_model_from_pretrained_roundtrip(tmp_path):
+    from facesr.ckpt import save_model
+
+    model = fen.FaceEnhanceNet(SMALL)
+    path = str(tmp_path / "m.fckpt")
+    save_model(path, model.params, model.config, model_type="custom")
+    loaded = fen.FaceEnhanceNet.from_pretrained(path)
+    assert loaded.config.num_groups == SMALL.num_groups
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(model(x)), np.asarray(loaded(x)), atol=1e-6)
