@@ -1,0 +1,62 @@
+"""Sharded inference serving: batch-parallel SR across a device mesh.
+
+The v5e-8 serving path for the BASELINE.json north star (images/sec on an
+8-chip pod): batches are sharded over the `data` axis, params replicated,
+and each chip runs the jitted forward — throughput scales linearly in
+chips since there is no cross-image communication in the model. Partial
+batches are padded to a mesh multiple and trimmed after.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facesr.parallel.mesh import get_mesh, replicate, batch_sharding, pad_to_multiple
+
+__all__ = ["ShardedPredictor"]
+
+
+class ShardedPredictor:
+    """Wraps a model wrapper (.apply_fn/.params/.config) for sharded serving.
+
+    Args:
+        model: FaceEnhanceNet / RRDBNet / TransferSRModel wrapper.
+        mesh: optional Mesh (defaults to all devices on a `data` axis).
+        dtype: compute dtype (bf16 default on TPU).
+        max_batch: compiled batch size; larger inputs are chunked, smaller
+            padded (one compiled program total).
+    """
+
+    def __init__(self, model, mesh=None, dtype=jnp.bfloat16, max_batch: int = 128):
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.max_batch = max(max_batch - max_batch % self.n_devices, self.n_devices)
+        self.params = replicate(model.params, self.mesh)
+        apply_fn = model.apply_fn
+
+        def forward(params, x):
+            return jnp.clip(apply_fn(params, x, train=False, dtype=dtype), 0.0, 1.0)
+
+        from facesr.parallel.mesh import replicated
+
+        self._fwd = jax.jit(
+            forward,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """NHWC float batch (any size) -> SR batch, chunked/padded to the
+        compiled batch size."""
+        images = np.asarray(images, np.float32)
+        outs = []
+        for i in range(0, len(images), self.max_batch):
+            chunk = images[i:i + self.max_batch]
+            padded, valid = pad_to_multiple(chunk, self.n_devices)
+            x = jax.device_put(padded, batch_sharding(self.mesh))
+            y = self._fwd(self.params, x)
+            outs.append(np.asarray(y[:valid]))
+        return np.concatenate(outs, axis=0)

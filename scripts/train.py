@@ -228,8 +228,13 @@ def main():
         print(f"  GAN weight: {gan_weight}, type: {trainer_config.gan_type}")
         print(f"  D LR: {trainer_config.d_learning_rate}, "
               f"D updates/G: {trainer_config.d_updates_per_g}")
+        # D must be sized for the images it will actually see: the training
+        # HR crop (the reference sizes it from hr_size, which only works
+        # because its configs crop at full hr_size).
+        d_input = aug_config.get("random_crop", {}).get(
+            "hr_patch_size", data_config.get("hr_size", 256))
         discriminator = create_discriminator(
-            input_size=data_config.get("hr_size", 256),
+            input_size=d_input,
             base_channels=gan_config.get("d_channels", 64),
             use_bn=gan_config.get("d_use_bn", True),
         )

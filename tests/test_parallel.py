@@ -81,3 +81,18 @@ def test_data_parallel_matches_single_device():
     state1, m1b = step1(state1, jnp.asarray(hr))
     state8, m8b = step8(state8, hr_sharded)
     assert abs(float(m1b["loss"]) - float(m8b["loss"])) < 1e-5
+
+
+def test_sharded_predictor_matches_single_device():
+    from facesr.parallel.serving import ShardedPredictor
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    predictor = ShardedPredictor(model, dtype=None, max_batch=8)
+
+    rng = np.random.default_rng(1)
+    x = rng.random((11, 16, 16, 3), dtype=np.float32)  # partial chunks
+    got = predictor(x)
+    assert got.shape == (11, 64, 64, 3)
+    want = np.asarray(model(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.clip(want, 0, 1), atol=1e-5)

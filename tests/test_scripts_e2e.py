@@ -106,3 +106,19 @@ def test_resume_cli(workdir):
                "--resume", str(workdir / "ckpt" / "final_model.fckpt"),
                "--fine-tune"])
     assert "fine-tuning mode" in out
+
+
+def test_train_gan_cli(workdir):
+    """Stage-3-style GAN training through the CLI (tiny discriminator)."""
+    cfg = (workdir / "cfg.yaml").read_text()
+    gan_cfg = cfg.replace(
+        "loss: {l1_weight: 1.0, perceptual_weight: 0.0, ssim_weight: 0.0, gan: {weight: 0.0}}",
+        "loss: {l1_weight: 1.0, perceptual_weight: 0.0, ssim_weight: 0.0, "
+        "gan: {weight: 0.005, type: vanilla, d_lr: 0.0001, d_channels: 8, start_epoch: 0}}",
+    )
+    assert gan_cfg != cfg
+    (workdir / "gan_cfg.yaml").write_text(gan_cfg)
+    out = run(["scripts/train.py", "--config", str(workdir / "gan_cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu"])
+    assert "GAN Training Configuration" in out
+    assert "Training complete!" in out
