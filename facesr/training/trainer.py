@@ -382,9 +382,12 @@ class Trainer:
         gan_active = self.use_gan and self.current_epoch >= self.config.gan_start_epoch
         step_fn = self._gan_step if gan_active else self._content_step
 
-        # Metrics stay on-device during the epoch so steps pipeline without a
-        # per-step host sync (the reference's .item()-per-batch pattern
-        # serializes dispatch; on a tunneled TPU that dominates step time).
+        # Metrics stay on-device so steps pipeline without a per-step host
+        # sync (the reference's .item()-per-batch pattern serializes
+        # dispatch; on a tunneled TPU that dominates step time). The queue
+        # is throttled every few steps: an unbounded async queue of
+        # replicated programs can blow XLA:CPU's collective-rendezvous
+        # timeout on virtual multi-device meshes.
         pending: list = []
         num_batches = 0
         t0 = time.time()
@@ -394,6 +397,9 @@ class Trainer:
             pending.append(metrics)
             num_batches += 1
             self.global_step += 1
+            if num_batches % 8 == 0:
+                jax.block_until_ready(metrics["loss"])
+                float(metrics["loss"])
             if self.use_wandb and self.global_step % self.config.log_every == 0:
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 wandb.log({f"train/{k}": v for k, v in metrics_host.items()}
@@ -576,8 +582,13 @@ def overfit_test(
     losses, psnrs = [], []
     for i in range(num_iterations):
         params, opt_state, mse, psnr = step(params, opt_state, hr_dev)
+        # Per-iteration sync: on multi-device CPU meshes a deep async queue
+        # of replicated programs can blow XLA's collective-rendezvous
+        # timeout (fatal abort); fetching the scalar keeps device queues in
+        # lockstep and costs nothing on a real accelerator at this scale.
+        mse_host = float(mse)
         if i % 50 == 0 or i == num_iterations - 1:
-            losses.append(float(mse))
+            losses.append(mse_host)
             psnrs.append(float(psnr))
             print(f"  iter {i}: loss={losses[-1]:.6f} psnr={psnrs[-1]:.2f}")
 
