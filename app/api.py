@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""HTTP serving API for face super-resolution.
+
+The reference's docker-compose declares an `app/api.py` service that does
+not exist in its repo (reference docker-compose.yml:43-73, noted
+aspirational in SURVEY.md §2.7); this is a real one. Standard-library
+`http.server` + threads — no web-framework dependency — so the serving
+surface works in any environment where the framework runs.
+
+Endpoints:
+  GET  /health            -> {"status": "ok", "models": [...], "device": ...}
+  GET  /models            -> model names + configs
+  POST /super-resolve     -> body: PNG/JPEG image bytes.
+                             Query: ?model=<name> (default: first loaded)
+                             Response: PNG bytes of the SR image.
+                             An already-LR input (<=128px) is upscaled 4x;
+                             larger inputs are center-cropped to 256 and a
+                             64px LR is synthesized (same heuristic as the
+                             demo / reference app/demo.py:244-266).
+
+Usage:
+  python app/api.py --checkpoint-dir checkpoints --port 8000
+  curl -X POST --data-binary @face.png localhost:8000/super-resolve > sr.png
+"""
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import urlparse, parse_qs
+
+project_root = Path(__file__).parent.parent
+sys.path.insert(0, str(project_root))
+
+import numpy as np
+import cv2
+
+
+class SRService:
+    """Loads models once; thread-safe inference (jitted fns are reentrant)."""
+
+    def __init__(self, checkpoint_dir: str):
+        from app.demo import load_models_from_checkpoints
+
+        self.models = load_models_from_checkpoints(checkpoint_dir)
+        if not self.models:
+            raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
+        self.default = next(iter(self.models))
+
+    def model_info(self):
+        out = {}
+        for name, m in self.models.items():
+            cfg = m.config
+            out[name] = {
+                "num_groups": cfg.num_groups,
+                "blocks_per_group": cfg.blocks_per_group,
+                "num_channels": cfg.num_channels,
+                "scale_factor": cfg.scale_factor,
+            }
+        return out
+
+    def super_resolve(self, image_bytes: bytes, model_name: str | None = None) -> bytes:
+        from app.demo import prepare_inputs
+        import jax.numpy as jnp
+
+        name = model_name or self.default
+        if name not in self.models:
+            raise KeyError(f"unknown model {name!r}; available: {list(self.models)}")
+        buf = np.frombuffer(image_bytes, np.uint8)
+        bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("could not decode image")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        lr, _ = prepare_inputs(rgb)
+        sr = np.asarray(self.models[name](jnp.asarray(lr[None])))[0]
+        sr_u8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+        ok, png = cv2.imencode(".png", cv2.cvtColor(sr_u8, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise RuntimeError("PNG encoding failed")
+        return png.tobytes()
+
+
+def make_handler(service: SRService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/health":
+                import jax
+
+                self._json(200, {
+                    "status": "ok",
+                    "models": list(service.models),
+                    "device": jax.devices()[0].platform,
+                })
+            elif path == "/models":
+                self._json(200, service.model_info())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            if path != "/super-resolve":
+                self._json(404, {"error": f"unknown path {path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body; POST image bytes"})
+                    return
+                body = self.rfile.read(length)
+                q = parse_qs(urlparse(self.path).query)
+                model = q.get("model", [None])[0]
+                png = service.super_resolve(body, model)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+            except KeyError as e:
+                self._json(400, {"error": str(e)})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0"):
+    service = SRService(checkpoint_dir)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"facesr API serving {list(service.models)} on {host}:{port}")
+    return server
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Face SR HTTP API")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    server = serve(args.checkpoint_dir, args.port, args.host)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nShutting down.")
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

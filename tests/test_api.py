@@ -1,0 +1,74 @@
+"""HTTP API tests: health/models endpoints and super-resolve round trip."""
+
+import http.client
+import threading
+
+import numpy as np
+import cv2
+import json
+import pytest
+
+from facesr.models import face_enhance_net as fen
+from facesr.ckpt import save_model
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    ckpt_dir = tmp_path_factory.mktemp("api_ckpt")
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    save_model(str(ckpt_dir / "best_model.fckpt"), model.params, cfg, "custom")
+
+    from app.api import serve
+
+    srv = serve(str(ckpt_dir), port=0, host="127.0.0.1")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield port
+    srv.shutdown()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def test_health_and_models(server):
+    status, ctype, data = _request(server, "GET", "/health")
+    assert status == 200 and "json" in ctype
+    payload = json.loads(data)
+    assert payload["status"] == "ok" and payload["models"]
+
+    status, _, data = _request(server, "GET", "/models")
+    info = json.loads(data)
+    assert next(iter(info.values()))["scale_factor"] == 4
+
+
+def test_super_resolve_roundtrip(server):
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", img)
+    status, ctype, data = _request(server, "POST", "/super-resolve", body=png.tobytes())
+    assert status == 200 and ctype == "image/png"
+    out = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert out.shape == (256, 256, 3)  # 64 -> 256 4x SR
+
+
+def test_error_paths(server):
+    status, _, data = _request(server, "POST", "/super-resolve", body=b"not an image")
+    assert status == 400 and b"decode" in data
+
+    status, _, _ = _request(server, "POST", "/super-resolve")
+    assert status == 400
+
+    status, _, data = _request(server, "POST", "/super-resolve?model=nope",
+                               body=b"x" * 10)
+    assert status == 400
+
+    status, _, _ = _request(server, "GET", "/nope")
+    assert status == 404
