@@ -45,6 +45,12 @@ def conv2d(
     # No preferred_element_type upcast: XLA:TPU accumulates bf16 convs in
     # f32 internally regardless, and a f32 primitive output breaks the
     # conv transpose rule under grad (f32 cotangent vs bf16 operands).
+    #
+    # Precision: TPU lowers f32 convs to single-pass bf16 by default, which
+    # silently breaks f32 semantics (e.g. SSIM's E[x^2]-E[x]^2 cancels
+    # catastrophically -> SSIM > 1 observed on hardware). When the caller
+    # asked for f32 (dtype None / f32 inputs), honor it with HIGHEST; the
+    # bf16 fast path is the explicit dtype=bf16 policy.
     out = lax.conv_general_dilated(
         x,
         w,
@@ -52,6 +58,7 @@ def conv2d(
         padding=pad,
         dimension_numbers=_DIMSPEC,
         feature_group_count=feature_group_count,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None),
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -77,7 +84,10 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, dtype=None)
     """[N, in] x [in, out] -> [N, out]."""
     if dtype is not None:
         x = x.astype(dtype)
-    out = jnp.dot(x, w.astype(x.dtype))
+    out = jnp.dot(
+        x, w.astype(x.dtype),
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None),
+    )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
