@@ -153,6 +153,11 @@ class ESRGANBaseline:
     def __init__(self, weights_path: Optional[str] = None, scale: int = 4):
         self.config = RRDBNetConfig(scale=scale)
         self.model = RRDBNet(self.config)
+        self.model_type = "esrgan"
+        # Wrapper interface passthrough so the Trainer / converters accept
+        # this like any model wrapper (reference trains 'esrgan' type via
+        # the same Trainer path, train.py:78-79).
+        self.apply_fn = self.model.apply_fn
         self.pretrained = False
         if weights_path:
             from facesr.ckpt import load_checkpoint
@@ -171,6 +176,14 @@ class ESRGANBaseline:
             print("Warning: no RealESRGAN weights provided; ESRGANBaseline "
                   "runs randomly initialized (convert official weights with "
                   "facesr.ckpt.convert.convert_rrdbnet_state_dict).")
+
+    @property
+    def params(self):
+        return self.model.params
+
+    @params.setter
+    def params(self, value):
+        self.model.params = value
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return jnp.clip(self.model(x), 0.0, 1.0)
