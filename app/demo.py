@@ -33,19 +33,17 @@ HR_SIZE = 256
 
 
 def load_models_from_checkpoints(checkpoint_dir: str = "checkpoints") -> dict:
-    """Every *.fckpt in the dir, keyed by friendly name (reference :126-152)."""
-    import jax
-    from facesr.ckpt import load_model
-    from facesr.models.face_enhance_net import FaceEnhanceNet
+    """Every *.fckpt in the dir, keyed by friendly name (reference :126-152).
+    Handles custom/transfer/esrgan checkpoints via the shared loader."""
+    from facesr.models.load import load_any_model
 
     models = {}
     for path in sorted(Path(checkpoint_dir).glob("*.fckpt")):
         try:
-            cfg, params = load_model(str(path))
-            params = jax.tree.map(np.asarray, params)
+            model = load_any_model(str(path))
             name = path.stem.replace("_", " ").title()
-            models[name] = FaceEnhanceNet(config=cfg, params=params)
-            print(f"Loaded {name} ({cfg.num_groups}x{cfg.blocks_per_group}x{cfg.num_channels})")
+            models[name] = model
+            print(f"Loaded {name} ({type(model).__name__})")
         except Exception as e:
             print(f"Skipping {path}: {e}")
     return models

@@ -60,6 +60,16 @@ class FastHRLoader:
 
     def _decode(self, idx: int) -> np.ndarray:
         hr, _ = self.dataset._load_images(idx)
+        h, w = hr.shape[:2]
+        if h < self.crop or w < self.crop:
+            # Upscale undersized images so every sample supports the crop
+            # (the assembler bounds-checks and would reject them).
+            import cv2
+
+            scale = max(self.crop / h, self.crop / w)
+            hr = cv2.resize(hr, (max(int(round(w * scale)), self.crop),
+                                 max(int(round(h * scale)), self.crop)),
+                            interpolation=cv2.INTER_CUBIC)
         return np.ascontiguousarray(hr)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -79,30 +89,51 @@ class FastHRLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def assemble(images):
+            b = len(images)
+            tops = np.empty(b, np.int32)
+            lefts = np.empty(b, np.int32)
+            for j, img in enumerate(images):
+                h, w = img.shape[:2]
+                tops[j] = rng.integers(0, max(h - self.crop, 0) + 1)
+                lefts[j] = rng.integers(0, max(w - self.crop, 0) + 1)
+            flips = (rng.random(b) < self.flip_prob).astype(np.uint8)
+            return assemble_hr_batch(images, self.crop, tops, lefts,
+                                     flips, nthreads=self.nthreads)
 
         def produce():
             try:
-                futures = [
+                # Bounded decode window (see facesr.data.loader): submitting
+                # the whole epoch would accumulate every decoded image in RAM.
+                window = max(self.prefetch_batches, 1) + 1
+                pending = [
                     [pool.submit(self._decode, int(i)) for i in idx]
-                    for idx in batches
+                    for idx in batches[:window]
                 ]
-                for fs, idx in zip(futures, batches):
-                    images = [f.result() for f in fs]
-                    b = len(images)
-                    tops = np.empty(b, np.int32)
-                    lefts = np.empty(b, np.int32)
-                    for j, img in enumerate(images):
-                        h, w = img.shape[:2]
-                        tops[j] = rng.integers(0, max(h - self.crop, 0) + 1)
-                        lefts[j] = rng.integers(0, max(w - self.crop, 0) + 1)
-                    flips = (rng.random(b) < self.flip_prob).astype(np.uint8)
-                    hr = assemble_hr_batch(images, self.crop, tops, lefts,
-                                           flips, nthreads=self.nthreads)
-                    q.put({"hr": hr})
+                next_submit = min(window, len(batches))
+                for _ in range(len(batches)):
+                    fs = pending.pop(0)
+                    if not put({"hr": assemble([f.result() for f in fs])}):
+                        return
+                    if next_submit < len(batches):
+                        pending.append([pool.submit(self._decode, int(i))
+                                        for i in batches[next_submit]])
+                        next_submit += 1
             except Exception as e:
-                q.put(e)
+                put(e)
             finally:
-                q.put(_STOP)
+                put(_STOP)
 
         threading.Thread(target=produce, daemon=True).start()
         try:
@@ -114,4 +145,5 @@ class FastHRLoader:
                     raise item
                 yield item
         finally:
+            stop.set()
             pool.shutdown(wait=False, cancel_futures=True)

@@ -96,20 +96,44 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
-                # Pipeline: submit per-sample fetches, collate in order.
-                futures = [
-                    [pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
-                    for idx in batches
-                ]
-                for fs in futures:
-                    q.put(_collate([f.result() for f in fs]))
+                # Keep only a bounded window of decode futures in flight —
+                # submitting the whole epoch upfront would let the decode
+                # threads run arbitrarily far ahead of the consumer and
+                # accumulate the entire decoded dataset in host RAM.
+                window = max(self.prefetch_batches, 1) + 1
+                pending: list = []
+                for idx in batches[:window]:
+                    pending.append([pool.submit(self.dataset.__getitem__, int(i))
+                                    for i in idx])
+                next_submit = min(window, len(batches))
+                for _ in range(len(batches)):
+                    fs = pending.pop(0)
+                    if not put(_collate([f.result() for f in fs])):
+                        return
+                    if next_submit < len(batches):
+                        pending.append([
+                            pool.submit(self.dataset.__getitem__, int(i))
+                            for i in batches[next_submit]
+                        ])
+                        next_submit += 1
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(_STOP)
+                put(_STOP)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -122,4 +146,5 @@ class DataLoader:
                     raise item
                 yield item
         finally:
+            stop.set()
             pool.shutdown(wait=False, cancel_futures=True)

@@ -83,6 +83,13 @@ def assemble_hr_batch(
     """Crop+flip+normalize+stack HWC uint8 RGB images -> [N, crop, crop, 3]
     float32 in [0,1]. Falls back to numpy when the native lib is missing."""
     n = len(images)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        if int(tops[i]) + crop > h or int(lefts[i]) + crop > w:
+            raise ValueError(
+                f"image {i} ({h}x{w}) cannot supply a {crop}px crop at "
+                f"({int(tops[i])},{int(lefts[i])})"
+            )
     lib = get_lib()
     if lib is None:
         out = np.empty((n, crop, crop, 3), np.float32)

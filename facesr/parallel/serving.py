@@ -50,13 +50,18 @@ class ShardedPredictor:
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         """NHWC float batch (any size) -> SR batch, chunked/padded to the
-        compiled batch size."""
+        compiled batch size (always max_batch, so the whole lifetime of the
+        predictor uses ONE compiled program — padding only to a device
+        multiple would recompile for every distinct remainder size)."""
         images = np.asarray(images, np.float32)
         outs = []
         for i in range(0, len(images), self.max_batch):
             chunk = images[i:i + self.max_batch]
-            padded, valid = pad_to_multiple(chunk, self.n_devices)
-            x = jax.device_put(padded, batch_sharding(self.mesh))
+            valid = len(chunk)
+            if valid < self.max_batch:
+                filler = np.repeat(chunk[-1:], self.max_batch - valid, axis=0)
+                chunk = np.concatenate([chunk, filler], axis=0)
+            x = jax.device_put(chunk, batch_sharding(self.mesh))
             y = self._fwd(self.params, x)
             outs.append(np.asarray(y[:valid]))
         return np.concatenate(outs, axis=0)

@@ -179,7 +179,15 @@ class Trainer:
         config: Optional[TrainerConfig] = None,
         discriminator: Optional[tuple] = None,  # (cfg, params, stats)
         mesh=None,
+        optimizer=None,
     ):
+        """`optimizer`: optional optax GradientTransformation overriding the
+        default AdamW(+clip+freeze-labels). For the transfer model's
+        stage-specific per-group LRs use
+        `facesr.models.transfer.make_stage_optimizer` here; the default path
+        mirrors the reference's actual training (train.py:357-365: one AdamW
+        LR over all unfrozen params). Epoch LR scheduling only applies when
+        the optimizer carries an injected `learning_rate` hyperparameter."""
         self.config = config or TrainerConfig()
         self.model = model
         self.model_cfg = model.config
@@ -211,12 +219,15 @@ class Trainer:
                 lambda l: "frozen" if l == "frozen" else "train", labels3,
                 is_leaf=lambda x: isinstance(x, str),
             )
-        self.tx = make_optimizer(
-            weight_decay=self.config.weight_decay,
-            gradient_clip=self.config.gradient_clip,
-            accumulation_steps=self.config.accumulation_steps,
-            param_labels=param_labels,
-        )
+        if optimizer is not None:
+            self.tx = optimizer
+        else:
+            self.tx = make_optimizer(
+                weight_decay=self.config.weight_decay,
+                gradient_clip=self.config.gradient_clip,
+                accumulation_steps=self.config.accumulation_steps,
+                param_labels=param_labels,
+            )
         opt_state = self.tx.init(model.params)
         opt_state = set_learning_rate(opt_state, self.config.learning_rate)
 
@@ -285,6 +296,7 @@ class Trainer:
         )
         self.checkpoint_dir = Path(self.config.checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self._warned_pad = False
         self.best_metric: Optional[float] = None
         self.current_epoch = 0
         self.global_step = 0
@@ -339,7 +351,23 @@ class Trainer:
         self.current_lr = lr
 
     def _shard_hr(self, hr: np.ndarray) -> jax.Array:
-        hr, _ = pad_to_multiple(np.asarray(hr), self.n_devices)
+        """Make the batch divisible by the mesh. Remainder samples are
+        DROPPED (duplicating them would silently overweight the last sample
+        in gradients and bias validation metrics); only a batch smaller than
+        the mesh itself is padded by repetition, with a warning."""
+        hr = np.asarray(hr)
+        n = hr.shape[0]
+        rem = n % self.n_devices
+        if rem:
+            if n >= self.n_devices:
+                hr = hr[: n - rem]
+            else:
+                if not self._warned_pad:
+                    print(f"Warning: batch of {n} padded by repetition to the "
+                          f"{self.n_devices}-device mesh; metrics over this "
+                          "batch include duplicate samples")
+                    self._warned_pad = True
+                hr, _ = pad_to_multiple(hr, self.n_devices)
         return jax.device_put(hr, batch_sharding(self.mesh, self.config.mesh_axis))
 
     # ------------------------------------------------------------------
@@ -508,7 +536,6 @@ class Trainer:
 
     def load_checkpoint(self, path: str, weights_only: bool = False) -> None:
         """Full resume vs weights-only fine-tune (reference trainer.py:725-760)."""
-        target = serialization.to_state_dict(self.state)
         tree, meta = load_checkpoint(path, target=None)
 
         if weights_only:

@@ -41,30 +41,11 @@ def find_checkpoints(checkpoint_dir: str):
 
 
 def load_any_model(path: Path):
-    """Detect model type from checkpoint metadata and load (reference
-    detects by state-dict key prefix, :131-147; ours is self-describing)."""
-    import jax
-    from facesr.ckpt import load_checkpoint, load_model
+    """Type-dispatching loader (reference detects by state-dict key prefix,
+    :131-147; facesr checkpoints are self-describing)."""
+    from facesr.models.load import load_any_model as _load
 
-    _, meta = load_checkpoint(str(path))
-    mtype = meta.get("model_type", "custom")
-    cfg, params = load_model(str(path), model_type=mtype)
-    params = jax.tree.map(lambda x: x, params)
-    if mtype in ("custom", "lite"):
-        from facesr.models.face_enhance_net import FaceEnhanceNet
-
-        return FaceEnhanceNet(config=cfg, params=params)
-    if mtype == "transfer":
-        from facesr.models.transfer import TransferSRModel
-
-        model = TransferSRModel(cfg)
-        model.params = params
-        return model
-    if mtype == "esrgan":
-        from facesr.models.esrgan import RRDBNet
-
-        return RRDBNet(config=cfg, params=params)
-    raise ValueError(f"Cannot load model type {mtype} from {path}")
+    return _load(str(path))
 
 
 def compute_metrics(sr_uint8, hr_uint8, lpips_fn=None):
