@@ -120,3 +120,21 @@ def test_bf16_compute_close_to_f32():
     y32 = fen.apply(p, x, SMALL)
     y16 = fen.apply(p, x, SMALL, dtype=jnp.bfloat16)
     assert float(jnp.abs(y32 - y16).mean()) < 2e-2
+
+
+@pytest.mark.parametrize("scale", [2, 8])
+def test_other_scale_factors(scale):
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                   blocks_per_group=1, scale_factor=scale)
+    p = fen.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 8, 8, 3))
+    y = fen.apply(p, x, cfg)
+    assert y.shape == (1, 8 * scale, 8 * scale, 3)
+    # zero conv_last: output equals the bicubic skip at any scale
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.random((1, 8, 8, 3), dtype=np.float32))
+    from facesr.ops import bicubic_up
+
+    np.testing.assert_allclose(
+        np.asarray(fen.apply(p, xr, cfg, train=True)),
+        np.asarray(bicubic_up(xr, scale)), atol=1e-6)

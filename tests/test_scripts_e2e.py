@@ -122,3 +122,19 @@ def test_train_gan_cli(workdir):
                "--no-wandb", "--yes", "--platform", "cpu"])
     assert "GAN Training Configuration" in out
     assert "Training complete!" in out
+
+
+def test_train_transfer_cli(workdir):
+    """Transfer-model training through the CLI (tiny backbone)."""
+    cfg = (workdir / "cfg.yaml").read_text()
+    t_cfg = cfg.replace(
+        "model: {type: custom, custom: {num_channels: 16, num_groups: 1, "
+        "blocks_per_group: 2, reduction_ratio: 4, upscale_factor: 4}}",
+        "model: {type: transfer, transfer: {backbone_blocks: 3, head_blocks: 1, "
+        "head_channels: 16, scale_factor: 4}}",
+    ).replace('save_dir: "', 'save_dir: "').replace("ckpt\"", "ckpt_tr\"")
+    assert "transfer" in t_cfg
+    (workdir / "transfer_cfg.yaml").write_text(t_cfg)
+    out = run(["scripts/train.py", "--config", str(workdir / "transfer_cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu"])
+    assert "Training complete!" in out
