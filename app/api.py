@@ -50,15 +50,14 @@ class SRService:
         self.default = next(iter(self.models))
 
     def model_info(self):
+        from dataclasses import asdict, is_dataclass
+
         out = {}
         for name, m in self.models.items():
             cfg = m.config
-            out[name] = {
-                "num_groups": cfg.num_groups,
-                "blocks_per_group": cfg.blocks_per_group,
-                "num_channels": cfg.num_channels,
-                "scale_factor": cfg.scale_factor,
-            }
+            info = asdict(cfg) if is_dataclass(cfg) else dict(vars(cfg))
+            info["model_class"] = type(m).__name__
+            out[name] = info
         return out
 
     def super_resolve(self, image_bytes: bytes, model_name: str | None = None) -> bytes:
@@ -96,19 +95,22 @@ def make_handler(service: SRService):
             self.wfile.write(body)
 
         def do_GET(self):
-            path = urlparse(self.path).path
-            if path == "/health":
-                import jax
+            try:
+                path = urlparse(self.path).path
+                if path == "/health":
+                    import jax
 
-                self._json(200, {
-                    "status": "ok",
-                    "models": list(service.models),
-                    "device": jax.devices()[0].platform,
-                })
-            elif path == "/models":
-                self._json(200, service.model_info())
-            else:
-                self._json(404, {"error": f"unknown path {path}"})
+                    self._json(200, {
+                        "status": "ok",
+                        "models": list(service.models),
+                        "device": jax.devices()[0].platform,
+                    })
+                elif path == "/models":
+                    self._json(200, service.model_info())
+                else:
+                    self._json(404, {"error": f"unknown path {path}"})
+            except Exception as e:  # always answer the request
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
             path = urlparse(self.path).path

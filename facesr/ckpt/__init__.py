@@ -6,6 +6,7 @@ from facesr.ckpt.checkpoint import (
     save_model,
     load_model,
     infer_model_config_from_params,
+    restack_scanned,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "save_model",
     "load_model",
     "infer_model_config_from_params",
+    "restack_scanned",
 ]

@@ -100,6 +100,20 @@ def infer_model_config_from_params(params: Any):
     )
 
 
+def restack_scanned(node: Any) -> Any:
+    """Restack a scanned-blocks subtree restored from msgpack: a dict of
+    per-block pytrees keyed '0','1',... becomes stacked leading-axis arrays
+    (e.g. an RRDB body saved pre-stacked). No-op when already stacked."""
+    import jax
+
+    if isinstance(node, dict) and node and all(
+        isinstance(k, str) and k.isdigit() for k in node
+    ):
+        blocks = [node[k] for k in sorted(node, key=int)]
+        return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks)
+    return node
+
+
 def _restore_list_nodes(tree: Any) -> Any:
     """msgpack restores python lists as {'0': ..., '1': ...} dicts; convert
     any all-integer-keyed dict back to a list (e.g. upsample stages)."""

@@ -169,7 +169,9 @@ class FFHQDataset:
         if not self.hr_files:
             raise ValueError(f"No images found in {hr_dir}")
 
-        if not lr_dir.exists() or not list(lr_dir.glob("*.png")):
+        lr_listing = (sorted(lr_dir.glob("*.png")) or sorted(lr_dir.glob("*.jpg"))) \
+            if lr_dir.exists() else []
+        if not lr_listing:
             if self.generate_lr_on_the_fly:
                 self.hr_only_mode = True
                 self.lr_files: List[Path] = []
@@ -180,7 +182,7 @@ class FFHQDataset:
                     "and generate_lr_on_the_fly=False"
                 )
         else:
-            self.lr_files = sorted(lr_dir.glob("*.png"))
+            self.lr_files = lr_listing
             hr_names = {f.stem for f in self.hr_files}
             lr_names = {f.stem for f in self.lr_files}
             if hr_names != lr_names:
@@ -200,6 +202,14 @@ class FFHQDataset:
     # -- access ----------------------------------------------------------
     def __len__(self) -> int:
         return self.length
+
+    def load_hr(self, idx: int) -> np.ndarray:
+        """Decode only the HR image (fast path for HR-only training loaders —
+        skips the LR synthesis/read that _load_images would discard)."""
+        if self.use_hdf5:
+            return np.asarray(self._h5()["HR"][idx])
+        hr_image = cv2.imread(str(self.hr_files[idx]))
+        return cv2.cvtColor(hr_image, cv2.COLOR_BGR2RGB)
 
     def _load_images(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.use_hdf5:

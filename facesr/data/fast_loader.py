@@ -10,18 +10,14 @@ yielding {'hr': [B, crop, crop, 3] float32} batches.
 
 from __future__ import annotations
 
-import queue
-import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator
 
 import numpy as np
 
 from facesr.native import assemble_hr_batch
+from facesr.data.loader import bounded_prefetch
 
 __all__ = ["FastHRLoader"]
-
-_STOP = object()
 
 
 class FastHRLoader:
@@ -59,7 +55,11 @@ class FastHRLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _decode(self, idx: int) -> np.ndarray:
-        hr, _ = self.dataset._load_images(idx)
+        # HR-only decode (skips the LR synthesis _load_images would discard)
+        if hasattr(self.dataset, "load_hr"):
+            hr = self.dataset.load_hr(idx)
+        else:
+            hr, _ = self.dataset._load_images(idx)
         h, w = hr.shape[:2]
         if h < self.crop or w < self.crop:
             # Upscale undersized images so every sample supports the crop
@@ -87,19 +87,6 @@ class FastHRLoader:
                 break
             batches.append(idx)
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
-        pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
-        stop = threading.Event()
-
-        def put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
         def assemble(images):
             b = len(images)
             tops = np.empty(b, np.int32)
@@ -109,41 +96,13 @@ class FastHRLoader:
                 tops[j] = rng.integers(0, max(h - self.crop, 0) + 1)
                 lefts[j] = rng.integers(0, max(w - self.crop, 0) + 1)
             flips = (rng.random(b) < self.flip_prob).astype(np.uint8)
-            return assemble_hr_batch(images, self.crop, tops, lefts,
-                                     flips, nthreads=self.nthreads)
+            return {"hr": assemble_hr_batch(images, self.crop, tops, lefts,
+                                            flips, nthreads=self.nthreads)}
 
-        def produce():
-            try:
-                # Bounded decode window (see facesr.data.loader): submitting
-                # the whole epoch would accumulate every decoded image in RAM.
-                window = max(self.prefetch_batches, 1) + 1
-                pending = [
-                    [pool.submit(self._decode, int(i)) for i in idx]
-                    for idx in batches[:window]
-                ]
-                next_submit = min(window, len(batches))
-                for _ in range(len(batches)):
-                    fs = pending.pop(0)
-                    if not put({"hr": assemble([f.result() for f in fs])}):
-                        return
-                    if next_submit < len(batches):
-                        pending.append([pool.submit(self._decode, int(i))
-                                        for i in batches[next_submit]])
-                        next_submit += 1
-            except Exception as e:
-                put(e)
-            finally:
-                put(_STOP)
-
-        threading.Thread(target=produce, daemon=True).start()
-        try:
-            while True:
-                item = q.get()
-                if item is _STOP:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            pool.shutdown(wait=False, cancel_futures=True)
+        yield from bounded_prefetch(
+            batches,
+            fetch=self._decode,
+            build=assemble,
+            num_workers=self.num_workers,
+            prefetch_batches=self.prefetch_batches,
+        )

@@ -18,7 +18,7 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "bounded_prefetch"]
 
 _STOP = object()
 
@@ -94,57 +94,68 @@ class DataLoader:
                 yield _collate([self.dataset[int(i)] for i in idx])
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
-        stop = threading.Event()
+        yield from bounded_prefetch(
+            batches,
+            fetch=self.dataset.__getitem__,
+            build=_collate,
+            num_workers=self.num_workers,
+            prefetch_batches=self.prefetch_batches,
+        )
 
-        def put(item) -> bool:
-            """Bounded put that gives up when the consumer abandoned us."""
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
 
-        def produce():
+def bounded_prefetch(batches, fetch, build, num_workers: int,
+                     prefetch_batches: int) -> Iterator[Any]:
+    """Shared producer/consumer pipeline for batch loaders.
+
+    Per batch of indices, `fetch(i)` runs on a thread pool (bounded window —
+    submitting the whole epoch upfront would accumulate every decoded sample
+    in host RAM) and `build(samples)` assembles the yielded batch. Producer
+    shuts down cleanly when the consumer abandons the iterator.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch_batches)
+    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned us."""
+        while not stop.is_set():
             try:
-                # Keep only a bounded window of decode futures in flight —
-                # submitting the whole epoch upfront would let the decode
-                # threads run arbitrarily far ahead of the consumer and
-                # accumulate the entire decoded dataset in host RAM.
-                window = max(self.prefetch_batches, 1) + 1
-                pending: list = []
-                for idx in batches[:window]:
-                    pending.append([pool.submit(self.dataset.__getitem__, int(i))
-                                    for i in idx])
-                next_submit = min(window, len(batches))
-                for _ in range(len(batches)):
-                    fs = pending.pop(0)
-                    if not put(_collate([f.result() for f in fs])):
-                        return
-                    if next_submit < len(batches):
-                        pending.append([
-                            pool.submit(self.dataset.__getitem__, int(i))
-                            for i in batches[next_submit]
-                        ])
-                        next_submit += 1
-            except Exception as e:  # surface loader errors to the consumer
-                put(e)
-            finally:
-                put(_STOP)
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
-        producer = threading.Thread(target=produce, daemon=True)
-        producer.start()
+    def produce():
         try:
-            while True:
-                item = q.get()
-                if item is _STOP:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
+            window = max(prefetch_batches, 1) + 1
+            pending = [
+                [pool.submit(fetch, int(i)) for i in idx]
+                for idx in batches[:window]
+            ]
+            next_submit = min(window, len(batches))
+            for _ in range(len(batches)):
+                fs = pending.pop(0)
+                if not put(build([f.result() for f in fs])):
+                    return
+                if next_submit < len(batches):
+                    pending.append([pool.submit(fetch, int(i))
+                                    for i in batches[next_submit]])
+                    next_submit += 1
+        except Exception as e:  # surface loader errors to the consumer
+            put(e)
         finally:
-            stop.set()
-            pool.shutdown(wait=False, cancel_futures=True)
+            put(_STOP)
+
+    threading.Thread(target=produce, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -66,8 +66,13 @@ class LPIPS:
     unless converted AlexNet-LPIPS weights are present."""
 
     def __init__(self, net: str = "alex", weights_path: Optional[str] = None,
-                 verbose: bool = False):
+                 verbose: bool = False, assume_unit_range: bool = True):
+        """assume_unit_range: inputs are [0,1] (every facesr caller) and are
+        converted to [-1,1] without inspecting values. Set False to
+        auto-detect like the reference wrapper (metrics.py:120-123) — that
+        path costs a blocking device->host sync per call."""
         self.net = net
+        self.assume_unit_range = assume_unit_range
         self.weights = lpips_lib.load_lpips_weights(weights_path)
         self.available = self.weights is not None
         if not self.available and verbose:
@@ -79,8 +84,7 @@ class LPIPS:
     def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
         if not self.available:
             return jnp.asarray(0.0)
-        # [0,1] -> [-1,1] when needed (reference metrics.py:120-123)
-        if float(pred.min()) >= 0:
+        if self.assume_unit_range or float(pred.min()) >= 0:
             pred = pred * 2 - 1
             target = target * 2 - 1
         return self._jitted(self.weights, pred, target)

@@ -160,17 +160,12 @@ class ESRGANBaseline:
         self.apply_fn = self.model.apply_fn
         self.pretrained = False
         if weights_path:
-            from facesr.ckpt import load_checkpoint
+            from facesr.ckpt import load_checkpoint, restack_scanned
 
             tree, _ = load_checkpoint(weights_path)
-            params = jax.tree.map(jnp.asarray, tree["params"])
-            if isinstance(params.get("body"), dict) and "rdb1" not in params["body"]:
-                # restored dict-of-index from msgpack: restack
-                params["body"] = jax.tree.map(
-                    lambda *xs: jnp.stack(xs),
-                    *[params["body"][k] for k in sorted(params["body"], key=int)],
-                )
-            self.model.params = params
+            params = tree["params"]
+            params["body"] = restack_scanned(params["body"])
+            self.model.params = jax.tree.map(jnp.asarray, params)
             self.pretrained = True
         else:
             print("Warning: no RealESRGAN weights provided; ESRGANBaseline "

@@ -228,17 +228,14 @@ class TransferSRModel:
     def load_pretrained_backbone(self, path: str) -> None:
         """Load a converted RRDBNet checkpoint into the backbone (reference
         remaps the official ESRGAN state dict, transfer.py:156-182)."""
-        from facesr.ckpt import load_checkpoint
+        from facesr.ckpt import load_checkpoint, restack_scanned
 
         tree, _ = load_checkpoint(path)
         src = jax.tree.map(jnp.asarray, tree["params"])
         bb = self.params["backbone"]
         bb["conv_first"] = src["conv_first"]
         bb["conv_body"] = src["conv_body"]
-        body = src["body"]
-        if isinstance(body, dict) and "rdb1" not in body:
-            body = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                *[body[k] for k in sorted(body, key=int)])
+        body = restack_scanned(src["body"])
         n_tail = min(STAGE2_UNFREEZE_BLOCKS, self.config.backbone_blocks)
         n_main = self.config.backbone_blocks - n_tail
         bb["body_main"] = jax.tree.map(lambda a: a[:n_main], body)

@@ -376,6 +376,10 @@ class Trainer:
         print(f"Starting training on {self.n_devices} device(s): "
               f"{self.mesh.devices.flat[0].platform}")
         print(f"Epochs: {self.config.epochs}")
+        if self.current_epoch >= self.config.epochs:
+            print(f"Warning: resumed at epoch {self.current_epoch} >= "
+                  f"configured epochs {self.config.epochs}; nothing to train. "
+                  "Use weights-only loading (--fine-tune) to start a new stage.")
 
         for epoch in range(self.current_epoch, self.config.epochs):
             self.current_epoch = epoch
@@ -547,7 +551,18 @@ class Trainer:
             print(f"  Starting fresh with LR={self.config.learning_rate}")
             return
 
-        restored = serialization.from_state_dict(jax.device_get(self.state), tree)
+        if self.use_gan and not meta.get("use_gan", False):
+            # Full resume of a non-GAN checkpoint into a GAN trainer: restore
+            # the generator side, keep the freshly-initialized D state.
+            host = jax.device_get(self.state)
+            restored = host.replace(
+                step=serialization.from_state_dict(host.step, tree["step"]),
+                params=serialization.from_state_dict(host.params, tree["params"]),
+                opt_state=serialization.from_state_dict(host.opt_state, tree["opt_state"]),
+            )
+            print("  Checkpoint has no discriminator state; D starts fresh")
+        else:
+            restored = serialization.from_state_dict(jax.device_get(self.state), tree)
         self.state = replicate(restored, self.mesh)
         self.current_epoch = meta["epoch"] + 1
         self.global_step = meta["global_step"]

@@ -24,19 +24,15 @@ import cv2
 
 
 def load_model(checkpoint_path: str):
-    """Load a facesr checkpoint; architecture comes from checkpoint metadata
+    """Load any facesr checkpoint (custom/transfer/esrgan) via the shared
+    type-dispatching loader; architecture comes from checkpoint metadata
     (with shape inference as fallback — checkpoints are self-describing)."""
-    import jax
-    from facesr.ckpt import load_model as ckpt_load_model
-    from facesr.models.face_enhance_net import FaceEnhanceNet
+    from facesr.models.load import load_any_model
 
     if not Path(checkpoint_path).exists():
         sys.exit(f"Error: checkpoint not found: {checkpoint_path}")
-    cfg, params = ckpt_load_model(checkpoint_path)
-    params = jax.tree.map(lambda x: np.asarray(x), params)
-    model = FaceEnhanceNet(config=cfg, params=params)
-    print(f"Loaded model: {cfg.num_groups} groups x {cfg.blocks_per_group} blocks, "
-          f"{cfg.num_channels} channels")
+    model = load_any_model(checkpoint_path)
+    print(f"Loaded model: {type(model).__name__} ({model.config})")
     return model
 
 

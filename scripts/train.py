@@ -248,10 +248,18 @@ def main():
         discriminator=discriminator,
     )
 
-    resume_path = args.resume or checkpoint_config.get("resume")
-    if resume_path and Path(resume_path).exists():
-        print(f"\nLoading checkpoint from {resume_path}")
-        trainer.load_checkpoint(resume_path, weights_only=args.fine_tune)
+    # CLI --resume is a full resume (unless --fine-tune); a `resume:` path
+    # from the stage YAML is stage *chaining* and always loads weights-only —
+    # a full resume from a completed prior stage would restore its epoch
+    # counter and train zero epochs (the reference sidesteps this by only
+    # honoring its CLI flag and leaving the YAML key dead).
+    if args.resume and Path(args.resume).exists():
+        print(f"\nLoading checkpoint from {args.resume}")
+        trainer.load_checkpoint(args.resume, weights_only=args.fine_tune)
+    elif checkpoint_config.get("resume") and Path(checkpoint_config["resume"]).exists():
+        path = checkpoint_config["resume"]
+        print(f"\nChaining from stage checkpoint {path} (weights only)")
+        trainer.load_checkpoint(path, weights_only=True)
 
     print("\n" + "=" * 60)
     print("Starting training...")
