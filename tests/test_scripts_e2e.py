@@ -138,3 +138,22 @@ def test_train_transfer_cli(workdir):
     out = run(["scripts/train.py", "--config", str(workdir / "transfer_cfg.yaml"),
                "--no-wandb", "--yes", "--platform", "cpu"])
     assert "Training complete!" in out
+
+
+def test_stage_chaining_via_config_resume(workdir):
+    """A `resume:` path in the YAML loads weights-only (stage chaining) —
+    a full resume of a completed stage would train zero epochs."""
+    cfg = (workdir / "cfg.yaml").read_text()
+    chained = cfg.replace(
+        f"save_dir: \"{workdir / 'ckpt'}\"",
+        f"save_dir: \"{workdir / 'ckpt_chain'}\", "
+        f"resume: \"{workdir / 'ckpt' / 'final_model.fckpt'}\"",
+    )
+    assert "resume:" in chained
+    (workdir / "chain_cfg.yaml").write_text(chained)
+    out = run(["scripts/train.py", "--config", str(workdir / "chain_cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu"])
+    assert "Chaining from stage checkpoint" in out
+    assert "weights only" in out
+    assert "Training complete!" in out
+    assert "Epoch 1/1" in out  # actually trained (not resumed past the end)
