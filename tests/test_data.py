@@ -140,3 +140,23 @@ def test_to_array():
     img = (np.ones((4, 4, 3)) * 128).astype(np.uint8)
     arr = to_array(img)
     assert arr.dtype == np.float32 and abs(arr[0, 0, 0] - 128 / 255) < 1e-6
+
+
+def test_config_validation(tmp_path):
+    from facesr.config import validate_config
+
+    assert validate_config({"model": {"type": "custom"}}) == []
+    warnings = validate_config({
+        "modle": {},  # typo
+        "model": {"type": "resnet"},
+        "training": {"scheduler": {"type": "exp"}},
+        "data": {"scale_factor": 3},
+    })
+    assert len(warnings) == 4
+
+
+def test_lazy_package_exports():
+    import facesr
+
+    assert hasattr(facesr.models, "FaceEnhanceNet")
+    assert "losses" in dir(facesr)
