@@ -74,6 +74,10 @@ def main():
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu) — the env's TPU "
                              "plugin ignores JAX_PLATFORMS")
+    parser.add_argument("--fast-loader", action="store_true",
+                        help="Use the native (C++) HR-only batch assembler "
+                             "for the training loader (LR is synthesized "
+                             "on-device by the trainer anyway)")
     args = parser.parse_args()
 
     if args.platform:
@@ -122,20 +126,37 @@ def main():
     print("Creating data loaders...")
     aug_config = config.get("augmentation", {})
     color_jitter = aug_config.get("color_jitter", {})
-    train_loader = get_dataloader(
-        data_root,
-        mode="train",
-        batch_size=batch_size,
-        num_workers=data_config.get("num_workers", 4),
-        hr_patch_size=aug_config.get("random_crop", {}).get("hr_patch_size", 128),
-        horizontal_flip=aug_config.get("horizontal_flip", 0.5),
-        random_rotate90=aug_config.get("random_rotate90", 0.0),
-        color_jitter_prob=color_jitter.get("probability", 0.3),
-        brightness=color_jitter.get("brightness", 0.1),
-        contrast=color_jitter.get("contrast", 0.1),
-        saturation=color_jitter.get("saturation", 0.0),
-        hue=color_jitter.get("hue", 0.0),
-    )
+    hr_patch = aug_config.get("random_crop", {}).get("hr_patch_size", 128)
+    if args.fast_loader:
+        from facesr.data.dataset import FFHQDataset
+        from facesr.data.fast_loader import FastHRLoader
+        from facesr.native import native_available
+
+        print(f"Fast loader: native assembler "
+              f"{'available' if native_available() else 'MISSING (numpy fallback)'}")
+        train_dataset = FFHQDataset(data_root, mode="train", hr_patch_size=hr_patch)
+        train_loader = FastHRLoader(
+            train_dataset,
+            batch_size=batch_size,
+            crop=hr_patch,
+            flip_prob=aug_config.get("horizontal_flip", 0.5),
+            num_workers=data_config.get("num_workers", 4),
+        )
+    else:
+        train_loader = get_dataloader(
+            data_root,
+            mode="train",
+            batch_size=batch_size,
+            num_workers=data_config.get("num_workers", 4),
+            hr_patch_size=hr_patch,
+            horizontal_flip=aug_config.get("horizontal_flip", 0.5),
+            random_rotate90=aug_config.get("random_rotate90", 0.0),
+            color_jitter_prob=color_jitter.get("probability", 0.3),
+            brightness=color_jitter.get("brightness", 0.1),
+            contrast=color_jitter.get("contrast", 0.1),
+            saturation=color_jitter.get("saturation", 0.0),
+            hue=color_jitter.get("hue", 0.0),
+        )
     val_loader = get_dataloader(
         data_root,
         mode="val",

@@ -157,3 +157,11 @@ def test_stage_chaining_via_config_resume(workdir):
     assert "weights only" in out
     assert "Training complete!" in out
     assert "Epoch 1/1" in out  # actually trained (not resumed past the end)
+
+
+def test_train_fast_loader_cli(workdir):
+    """Native fast-loader path through the CLI."""
+    out = run(["scripts/train.py", "--config", str(workdir / "cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu", "--fast-loader"])
+    assert "Fast loader: native assembler" in out
+    assert "Training complete!" in out
