@@ -100,3 +100,22 @@ def test_uint8_image_range_bicubic():
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert want.min() < 0 or want.max() > 1  # overshoot exists
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+def test_resize_matrix_golden_checksums():
+    """Pin the parity-critical interpolation matrices with checksums so a
+    refactor can't silently change bicubic semantics even in environments
+    without torch (each row sums to 1 by partition of unity; |M|_1 captures
+    the Keys-kernel negative lobes)."""
+    from facesr.ops import resize_matrix
+
+    golden = {
+        (64, 256): (256.0, 320.6640625),
+        (256, 64): (64.0, 88.0),
+        (64, 128): (128.0, 163.296875),
+    }
+    for (src, dst), (row_sum, l1) in golden.items():
+        m = resize_matrix(src, dst, "bicubic")
+        assert abs(float(m.sum()) - row_sum) < 1e-3
+        assert abs(float(np.abs(m).sum()) - l1) < 1e-3
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
