@@ -89,7 +89,18 @@ def infer_model_config_from_params(params: Any):
     num_groups, blocks_per_group = int(rcab_w.shape[0]), int(rcab_w.shape[1])
     fc1 = np.asarray(params["groups"]["rcab"]["ca"]["fc1_w"])
     reduced = int(fc1.shape[-1])
-    reduction_ratio = max(num_channels // reduced, 1) if reduced >= 8 else 4
+    if reduced < 8:
+        # The SE bottleneck is max(C // r, 8) (blocks.reduced_channels), so
+        # a width below 8 cannot come from this model family — refuse rather
+        # than silently guessing a ratio.
+        raise ValueError(
+            f"Cannot infer reduction_ratio: SE bottleneck width {reduced} is "
+            f"below the floor of 8; checkpoint is not a FaceEnhanceNet."
+        )
+    # When reduced == 8 the floor was (possibly) hit and several ratios map
+    # to the same architecture; C // reduced picks the canonical one, which
+    # reproduces the identical network (max(C // (C//8), 8) == 8).
+    reduction_ratio = max(num_channels // reduced, 1)
     num_stages = len(params["upsample"])
     return FaceEnhanceNetConfig(
         num_channels=num_channels,

@@ -13,6 +13,7 @@ An optional numpy Generator gives deterministic pipelines.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -37,6 +38,7 @@ class PairedTransform:
         saturation: float = 0.1,
         hue: float = 0.05,
         rng: Optional[np.random.Generator] = None,
+        seed: Optional[int] = None,
     ):
         self.hr_patch_size = hr_patch_size
         self.lr_patch_size = hr_patch_size // scale_factor
@@ -49,7 +51,29 @@ class PairedTransform:
         self.contrast = contrast
         self.saturation = saturation
         self.hue = hue
-        self.rng = rng if rng is not None else np.random.default_rng()
+        # DataLoader calls __getitem__ from a ThreadPoolExecutor, and numpy
+        # Generators are not thread-safe — each worker thread gets its own
+        # Generator, spawned from one SeedSequence (no shared mutable draw
+        # state, deterministic for num_workers <= 1).
+        if rng is not None:
+            ss = getattr(rng.bit_generator, "seed_seq", None)
+            if ss is None:  # numpy < 1.25 spells it _seed_seq
+                ss = getattr(rng.bit_generator, "_seed_seq", None)
+            self._seed_seq = ss if ss is not None else np.random.SeedSequence()
+        else:
+            self._seed_seq = np.random.SeedSequence(seed)
+        self._local = threading.local()
+        self._spawn_lock = threading.Lock()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        gen = getattr(self._local, "gen", None)
+        if gen is None:
+            with self._spawn_lock:  # spawn() mutates the SeedSequence counter
+                child = self._seed_seq.spawn(1)[0]
+            gen = np.random.default_rng(child)
+            self._local.gen = gen
+        return gen
 
     def __call__(self, hr_image: np.ndarray, lr_image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         hr_h, hr_w = hr_image.shape[:2]

@@ -134,6 +134,18 @@ def main():
 
         print(f"Fast loader: native assembler "
               f"{'available' if native_available() else 'MISSING (numpy fallback)'}")
+        # FastHRLoader only does crop+flip; warn when the effective config
+        # requests augmentations it will silently drop, so both loader paths
+        # train on the documented distribution (ADVICE r1).
+        dropped = []
+        if color_jitter.get("probability", 0.3) > 0:
+            dropped.append(f"color_jitter (p={color_jitter.get('probability', 0.3)})")
+        if aug_config.get("random_rotate90", 0.0) > 0:
+            dropped.append(f"random_rotate90 (p={aug_config.get('random_rotate90', 0.0)})")
+        if dropped:
+            print(f"WARNING: --fast-loader drops augmentations: {', '.join(dropped)}. "
+                  f"Set augmentation.color_jitter.probability: 0 (and rotate90: 0) "
+                  f"in the config to silence this, or drop --fast-loader to keep them.")
         train_dataset = FFHQDataset(data_root, mode="train", hr_patch_size=hr_patch)
         train_loader = FastHRLoader(
             train_dataset,

@@ -160,3 +160,40 @@ def test_lazy_package_exports():
 
     assert hasattr(facesr.models, "FaceEnhanceNet")
     assert "losses" in dir(facesr)
+
+
+def test_paired_transform_thread_safety_and_determinism():
+    # ADVICE r1: one shared np Generator raced across DataLoader worker
+    # threads. Each thread must get its own generator; same seed must give
+    # the same single-threaded draw sequence.
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(3)
+    hr = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    lr = cv2.resize(hr, (24, 24), interpolation=cv2.INTER_CUBIC)
+
+    def draws(seed):
+        t = PairedTransform(hr_patch_size=32, scale_factor=4, mode="train",
+                            color_jitter_prob=0.5, seed=seed)
+        return [t(hr, lr)[0].tobytes() for _ in range(8)]
+
+    assert draws(7) == draws(7)          # deterministic for num_workers <= 1
+    assert draws(7) != draws(8)
+
+    t = PairedTransform(hr_patch_size=32, scale_factor=4, mode="train",
+                        color_jitter_prob=0.5, seed=0)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outs = list(pool.map(lambda _: t(hr, lr)[0].shape, range(256)))
+    assert all(s == (32, 32, 3) for s in outs)
+    # distinct threads got distinct generators
+    import threading
+
+    barrier = threading.Barrier(4)
+
+    def gen_id(_):
+        barrier.wait(timeout=10)
+        return id(t.rng)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        gens = set(pool.map(gen_id, range(4)))
+    assert len(gens) == 4
