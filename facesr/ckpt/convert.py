@@ -26,6 +26,7 @@ __all__ = [
     "convert_face_enhance_net_state_dict",
     "convert_vgg19_state_dict",
     "convert_lpips_weights",
+    "convert_inception_state_dict",
     "convert_rrdbnet_state_dict",
     "load_torch_state_dict",
     "convert_pth",
@@ -162,6 +163,37 @@ def convert_lpips_weights(
     return {"convs": convs, "lins": lins}
 
 
+def convert_inception_state_dict(sd: Dict[str, np.ndarray],
+                                 bn_eps: float = 1e-3) -> Dict[str, Any]:
+    """InceptionV3 state dict (pytorch-fid's pt_inception-2015-12-05 or
+    torchvision inception_v3) -> facesr FID-Inception params.
+
+    Every BasicConv2d module `m` contributes m.conv.weight (OIHW -> HWIO)
+    plus its eval-mode BatchNorm folded to an affine:
+      scale = gamma / sqrt(running_var + eps); bias = beta - mean * scale.
+    fc / AuxLogits keys are ignored (FID stops at pool3)."""
+    from facesr.models.inception import CONV_SPECS
+
+    params: Dict[str, Any] = {}
+    for name, (ic, oc, (kh, kw), _, _) in CONV_SPECS.items():
+        w = sd[f"{name}.conv.weight"]
+        if w.shape != (oc, ic, kh, kw):
+            raise ValueError(
+                f"{name}.conv.weight has shape {w.shape}, expected {(oc, ic, kh, kw)}"
+            )
+        gamma = sd[f"{name}.bn.weight"]
+        beta = sd[f"{name}.bn.bias"]
+        mean = sd[f"{name}.bn.running_mean"]
+        var = sd[f"{name}.bn.running_var"]
+        scale = gamma / np.sqrt(var + bn_eps)
+        params[name] = {
+            "w": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "scale": scale.astype(np.float32),
+            "bias": (beta - mean * scale).astype(np.float32),
+        }
+    return params
+
+
 def convert_rrdbnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """RealESRGAN/ESRGAN RRDBNet state dict -> facesr params (stacked body)."""
     import jax
@@ -195,7 +227,7 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
     """CLI-style one-shot conversion to a facesr checkpoint file.
 
     kind: 'custom' | 'vgg19' | 'lpips' (extra_pth = lpips lin heads) |
-    'rrdbnet'.
+    'rrdbnet' | 'inception' (FID backbone).
     """
     from facesr.ckpt.checkpoint import save_checkpoint
 
@@ -222,6 +254,9 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
     elif kind == "rrdbnet":
         save_checkpoint(out_path, {"params": convert_rrdbnet_state_dict(sd)},
                         {"model_type": "esrgan", "converted_from": pth_path})
+    elif kind == "inception":
+        save_checkpoint(out_path, convert_inception_state_dict(sd),
+                        {"model_type": "inception_fid", "converted_from": pth_path})
     else:
         raise ValueError(f"Unknown conversion kind: {kind}")
     print(f"Converted {pth_path} -> {out_path} ({kind})")
@@ -234,7 +269,7 @@ if __name__ == "__main__":
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--kind", default="custom",
-                   choices=["custom", "vgg19", "lpips", "rrdbnet"])
+                   choices=["custom", "vgg19", "lpips", "rrdbnet", "inception"])
     p.add_argument("--extra", default=None, help="lpips lin-heads .pth")
     a = p.parse_args()
     convert_pth(a.input, a.output, a.kind, a.extra)

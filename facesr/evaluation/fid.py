@@ -1,21 +1,26 @@
 """Fréchet Inception Distance backend.
 
-FID needs InceptionV3-pool3 activations; no pretrained Inception ships in
-this environment (zero egress), so this backend activates only when
-converted weights are provided via $FACESR_INCEPTION_WEIGHTS. The FID math
-itself (Gaussian Fréchet distance between activation statistics) is
-implemented here and unit-tested directly; the reference has the same
-gated degradation via pytorch-fid (reference metrics.py:227-270).
+FID needs InceptionV3-pool3 activations — implemented natively in
+`facesr.models.inception` (the pytorch-fid network variant). No pretrained
+Inception ships in this environment (zero egress), so meaningful values
+require converted weights via $FACESR_INCEPTION_WEIGHTS (converter:
+`facesr.ckpt.convert.convert_inception_state_dict`); without them this
+degrades gracefully exactly like the reference does without pytorch-fid
+(reference metrics.py:227-270). The Fréchet math and the activation
+pipeline are unit-tested directly.
 """
 
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["frechet_distance", "fid_from_activations", "fid_from_images"]
+__all__ = [
+    "frechet_distance", "fid_from_activations", "inception_activations",
+    "fid_from_images",
+]
 
 ENV_WEIGHTS = "FACESR_INCEPTION_WEIGHTS"
 
@@ -24,11 +29,14 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
                      mu2: np.ndarray, sigma2: np.ndarray) -> float:
     """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
     diff = mu1 - mu2
-    # sqrtm via eigendecomposition of the symmetrized product
-    prod = sigma1 @ sigma2
-    eigvals = np.linalg.eigvals(prod)
-    # numerical noise can push tiny eigvals negative/complex
-    covmean_trace = np.sum(np.sqrt(np.clip(eigvals.real, 0, None)))
+    # Tr(sqrt(S1 S2)) via the symmetric form: eig(S1 S2) == eig(R S2 R^T)
+    # with R = sqrt(S1), so two symmetric eigh calls replace a nonsymmetric
+    # eigvals of the product — faster at 2048x2048 and numerically stable.
+    w1, v1 = np.linalg.eigh((sigma1 + sigma1.T) / 2)
+    root1 = (v1 * np.sqrt(np.clip(w1, 0, None))) @ v1.T
+    m = root1 @ ((sigma2 + sigma2.T) / 2) @ root1
+    eigvals = np.linalg.eigvalsh((m + m.T) / 2)
+    covmean_trace = np.sum(np.sqrt(np.clip(eigvals, 0, None)))
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * covmean_trace)
 
 
@@ -40,10 +48,60 @@ def fid_from_activations(act1: np.ndarray, act2: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
-def fid_from_images(real_images: List[np.ndarray], fake_images: List[np.ndarray]) -> float:
-    weights = os.environ.get(ENV_WEIGHTS)
-    if not weights or not os.path.exists(weights):
+def inception_activations(images: List[np.ndarray], weights: Dict,
+                          batch_size: int = 32) -> np.ndarray:
+    """Pool3 activations [N, 2048] for a list of HWC images.
+
+    Accepts uint8 or float; floats are assumed already in [0, 1]. Images may
+    have mixed sizes — each batch is resized to 299x299 inside the jitted
+    forward (pytorch-fid's resize_input default). Ragged tails are padded to
+    the compiled batch size and trimmed, so only one program is compiled.
+    """
+    import jax
+    import jax.numpy as jnp
+    from facesr.models import inception
+
+    size = (inception.INPUT_SIZE, inception.INPUT_SIZE)
+    # Images are pre-resized host-side so one program serves mixed sizes;
+    # apply() then sees uniform 299x299 and skips its own resize.
+    fwd = jax.jit(lambda p, x: inception.apply(p, x, resize_input=False))
+
+    def to_float(img: np.ndarray) -> np.ndarray:
+        arr = np.asarray(img)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        if arr.shape[:2] != size:
+            arr = np.asarray(inception.resize2d(jnp.asarray(arr[None]), size,
+                                                method="bilinear")[0])
+        return arr
+
+    outs = []
+    for start in range(0, len(images), batch_size):
+        chunk = [to_float(im) for im in images[start:start + batch_size]]
+        n = len(chunk)
+        if n < batch_size:
+            chunk += [np.zeros_like(chunk[0])] * (batch_size - n)
+        batch = jnp.asarray(np.stack(chunk))
+        acts = np.asarray(jax.device_get(fwd(weights, batch)))
+        outs.append(acts[:n])
+    return np.concatenate(outs, axis=0)
+
+
+def fid_from_images(real_images: List[np.ndarray], fake_images: List[np.ndarray],
+                    weights: Optional[Dict] = None, batch_size: int = 32) -> float:
+    """FID between two image sets using the native InceptionV3 backend."""
+    from facesr.models.inception import load_inception_weights
+
+    if weights is None:
+        weights = load_inception_weights()
+    if weights is None:
         raise RuntimeError(
-            f"InceptionV3 weights unavailable — set ${ENV_WEIGHTS} to converted weights"
+            f"InceptionV3 weights unavailable — set ${ENV_WEIGHTS} to weights "
+            f"converted with facesr.ckpt.convert (kind='inception')"
         )
-    raise RuntimeError("InceptionV3 activation backend not yet implemented")
+    act_real = inception_activations(real_images, weights, batch_size)
+    act_fake = inception_activations(fake_images, weights, batch_size)
+    return fid_from_activations(act_real, act_fake)
