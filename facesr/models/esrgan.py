@@ -142,6 +142,22 @@ class RRDBNet:
         return self._jitted(self.params, x)
 
 
+def infer_rrdbnet_config(params: Params, scale: int = 4) -> RRDBNetConfig:
+    """Rebuild an RRDBNetConfig from converted parameter shapes so non-x4plus
+    checkpoints load with the right architecture (self-describing checkpoints,
+    like the reference's state-dict shape sniffing)."""
+    first_w = np.asarray(params["conv_first"]["w"])
+    rdb1_w = np.asarray(params["body"]["rdb1"]["conv1_w"])
+    return RRDBNetConfig(
+        in_channels=int(first_w.shape[-2]),
+        out_channels=int(np.asarray(params["conv_last"]["w"]).shape[-1]),
+        num_feat=int(first_w.shape[-1]),
+        num_blocks=int(rdb1_w.shape[0]),
+        num_grow_ch=int(rdb1_w.shape[-1]),
+        scale=scale,
+    )
+
+
 class ESRGANBaseline:
     """Frozen pretrained baseline wrapper (reference esrgan.py:106-260).
 
@@ -152,21 +168,25 @@ class ESRGANBaseline:
 
     def __init__(self, weights_path: Optional[str] = None, scale: int = 4):
         self.config = RRDBNetConfig(scale=scale)
-        self.model = RRDBNet(self.config)
-        self.model_type = "esrgan"
-        # Wrapper interface passthrough so the Trainer / converters accept
-        # this like any model wrapper (reference trains 'esrgan' type via
-        # the same Trainer path, train.py:78-79).
-        self.apply_fn = self.model.apply_fn
         self.pretrained = False
+        params = None
         if weights_path:
             from facesr.ckpt import load_checkpoint, restack_scanned
 
             tree, _ = load_checkpoint(weights_path)
             params = tree["params"]
             params["body"] = restack_scanned(params["body"])
-            self.model.params = jax.tree.map(jnp.asarray, params)
+            params = jax.tree.map(jnp.asarray, params)
+            self.config = infer_rrdbnet_config(params, scale=scale)
             self.pretrained = True
+        self.model = RRDBNet(self.config)
+        self.model_type = "esrgan"
+        # Wrapper interface passthrough so the Trainer / converters accept
+        # this like any model wrapper (reference trains 'esrgan' type via
+        # the same Trainer path, train.py:78-79).
+        self.apply_fn = self.model.apply_fn
+        if params is not None:
+            self.model.params = params
         else:
             print("Warning: no RealESRGAN weights provided; ESRGANBaseline "
                   "runs randomly initialized (convert official weights with "
