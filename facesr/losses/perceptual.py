@@ -20,6 +20,11 @@ __all__ = ["init_perceptual", "perceptual_loss", "DEFAULT_LAYERS"]
 
 DEFAULT_LAYERS = ("conv3_4", "conv4_4")
 
+# Remat the VGG sweep in the backward pass (True saves HBM, costs one extra
+# VGG forward per step). Module-level so benches can A/B it; the production
+# default is re-evaluated against measurements in BENCH.md.
+VGG_REMAT = True
+
 
 def init_perceptual(
     key: jax.Array,
@@ -54,11 +59,17 @@ def perceptual_loss(
 
     # Remat the VGG sweep: its 256^2-resolution activations dominate HBM in
     # the backward pass otherwise (stage-1 batch on v5e OOMs without this).
-    extract = jax.checkpoint(
-        lambda p, x: vgg.extract_features(p, x, idxs, normalize=normalize)
-    )
+    extract = lambda p, x: vgg.extract_features(p, x, idxs, normalize=normalize)
+    if VGG_REMAT:
+        extract = jax.checkpoint(extract)
     pred_feats = extract(vgg_params, pred)
-    target_feats = extract(vgg_params, jax.lax.stop_gradient(target))
+    # No remat on the target branch: nothing differentiates through it, so
+    # wrapping it only risks a pointless recompute.
+    target_feats = jax.tree.map(
+        jax.lax.stop_gradient,
+        vgg.extract_features(vgg_params, jax.lax.stop_gradient(target),
+                             idxs, normalize=normalize),
+    )
 
     loss = jnp.asarray(0.0, jnp.float32)
     for name, idx in zip(layers, idxs):

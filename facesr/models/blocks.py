@@ -82,9 +82,16 @@ def init_rcab(key: jax.Array, num_channels: int, kernel_size: int, reduction_rat
 
 def rcab(p: Params, x: jax.Array, res_scale: float, padding: int) -> Tuple[jax.Array, jax.Array]:
     """One residual channel-attention block. Returns (out, attention [N, C])."""
+    from jax.ad_checkpoint import checkpoint_name
+
     out = conv2d(x, p["conv1_w"], p["conv1_b"], padding=padding)
+    # Names let a selective remat policy keep exactly the conv outputs (the
+    # expensive ops) while recomputing the cheap elementwise tail; they are
+    # inert without an enclosing jax.checkpoint policy.
+    out = checkpoint_name(out, "rcab_conv1")
     out = prelu(out, p["prelu_a"])
     out = conv2d(out, p["conv2_w"], p["conv2_b"], padding=padding)
+    out = checkpoint_name(out, "rcab_conv2")
     out, attn = channel_attention(p["ca"], out)
     return x + out * jnp.asarray(res_scale, out.dtype), attn
 
@@ -133,9 +140,19 @@ def residual_groups(
     res_scale: float,
     padding: int,
     collect_attention: bool = False,
+    remat: str = "rcab",
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Scan over groups; each group scans over its RCABs then applies the
     group-tail conv + group skip (reference blocks.py:185-189).
+
+    remat selects the backward-pass memory/FLOPs trade for the trunk:
+      - "rcab": rematerialize every RCAB — only the per-block scan carry is
+        kept; the block recomputes during the gradient sweep. Cheapest HBM
+        (required for batch 128 f32), most recompute.
+      - "save_convs": keep each RCAB's two conv outputs (the expensive
+        ops), recompute only the cheap elementwise tail. ~3x the trunk HBM
+        of "rcab", near-zero conv recompute.
+      - "none": let XLA keep whatever backward needs (fastest, most HBM).
 
     Returns (features, attention maps [G, B, N, C] if requested else None).
     """
@@ -144,11 +161,17 @@ def residual_groups(
         h, attn = rcab(rp, h, res_scale, padding)
         return h, (attn if collect_attention else None)
 
-    # Rematerialize each RCAB in the backward pass: without this, backprop
-    # stores every conv activation of the 60-block trunk (HBM OOM at the
-    # production batch size on v5e); with it, only the per-block carry is
-    # kept and the block recomputes during the gradient sweep.
-    rcab_body = jax.checkpoint(rcab_body)
+    if remat == "rcab":
+        rcab_body = jax.checkpoint(rcab_body)
+    elif remat == "save_convs":
+        rcab_body = jax.checkpoint(
+            rcab_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "rcab_conv1", "rcab_conv2"
+            ),
+        )
+    elif remat != "none":
+        raise ValueError(f"Unknown remat mode: {remat!r}")
 
     def group_body(feat, gp):
         res = feat

@@ -49,6 +49,9 @@ class FaceEnhanceNetConfig:
     init_scale: float = 0.1
     # Legacy field kept for config-surface compatibility (custom.py:43).
     num_rcab_blocks: int = 8
+    # Backward-pass memory/FLOPs trade for the trunk: "rcab" | "save_convs"
+    # | "none" (see blocks.residual_groups). Affects training only.
+    remat: str = "rcab"
 
     def replace(self, **kwargs) -> "FaceEnhanceNetConfig":
         d = asdict(self)
@@ -105,7 +108,9 @@ def apply(
     residual = feat
 
     feat, attn = blocks.residual_groups(
-        params["groups"], feat, cfg.res_scale, pad, collect_attention=collect_attention
+        params["groups"], feat, cfg.res_scale, pad,
+        collect_attention=collect_attention,
+        remat=cfg.remat if train else "none",
     )
     feat = conv2d(feat, params["conv_after_body"]["w"], params["conv_after_body"]["b"], padding=pad)
     feat = feat + residual
