@@ -102,12 +102,23 @@ def make_optimizer(
     return tx
 
 
+def _grad_norm_tree(grads: Any) -> Any:
+    """Per-leaf L2 norms, computed on-device (tiny reductions — fetching
+    these scalars costs ~nothing vs shipping the 20MB grad pytree to host;
+    the W&B-facing equivalent of reference wandb.watch gradients,
+    trainer.py:324)."""
+    return jax.tree.map(
+        lambda g: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))), grads
+    )
+
+
 def make_train_step(
     model_apply: Callable,
     loss_apply: Callable,
     tx: optax.GradientTransformation,
     scale_factor: int = 4,
     compute_dtype=None,
+    grad_norms: bool = False,
 ) -> Callable:
     """Content-only (no GAN) train step: LR synth -> G fwd -> loss -> update."""
 
@@ -126,6 +137,8 @@ def make_train_step(
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
         metrics = dict(comps)
         metrics["loss"] = loss
+        if grad_norms:
+            metrics["grad_norms"] = _grad_norm_tree(grads)
         return new_state, metrics
 
     return train_step
@@ -142,6 +155,7 @@ def make_gan_train_step(
     gan_type: str = "vanilla",
     d_updates_per_g: int = 1,
     compute_dtype=None,
+    grad_norms: bool = False,
 ) -> Callable:
     """Adversarial step (reference trainer.py:423-505): d_updates_per_g
     discriminator updates on (hr, stop_grad(sr)), then one generator update
@@ -206,6 +220,8 @@ def make_gan_train_step(
             "d_real": d_real_score,
             "d_fake": d_fake_score,
         })
+        if grad_norms:
+            metrics["grad_norms"] = _grad_norm_tree(grads)
         return new_state, metrics
 
     return train_step

@@ -112,6 +112,11 @@ class TrainerConfig:
 
     log_every: int = 100
     log_images_every: int = 5
+    # Sample per-layer gradient norms every N steps into a GradientMonitor
+    # (+ W&B when enabled) — the reference's wandb.watch(log='gradients',
+    # log_freq=100) equivalent (trainer.py:324). 0 = off: the step is built
+    # without the norm outputs, so there is no cost when disabled.
+    log_gradients_every: int = 0
     use_wandb: bool = True
     wandb_project: str = "face-super-resolution"
 
@@ -259,9 +264,17 @@ class Trainer:
         repl = replicated(self.mesh)
         bsh = batch_sharding(self.mesh, self.config.mesh_axis)
 
+        self._grad_norms_on = self.config.log_gradients_every > 0
+        self.gradient_monitor = None
+        if self._grad_norms_on:
+            from facesr.training.callbacks import GradientMonitor
+
+            self.gradient_monitor = GradientMonitor()
+
         content_step = steps_lib.make_train_step(
             self._model_apply, self._loss_apply, self.tx,
             scale_factor=self.config.scale_factor, compute_dtype=self.compute_dtype,
+            grad_norms=self._grad_norms_on,
         )
         self._content_step = jax.jit(
             content_step, in_shardings=(repl, bsh), donate_argnums=0
@@ -277,6 +290,7 @@ class Trainer:
                 gan_type=self.config.gan_type,
                 d_updates_per_g=self.config.d_updates_per_g,
                 compute_dtype=self.compute_dtype,
+                grad_norms=self._grad_norms_on,
             )
             self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh), donate_argnums=0)
 
@@ -426,9 +440,17 @@ class Trainer:
         for batch in self.train_loader:
             hr = self._shard_hr(batch["hr"])
             self.state, metrics = step_fn(self.state, hr)
+            grad_norms = metrics.pop("grad_norms", None)
             pending.append(metrics)
             num_batches += 1
             self.global_step += 1
+            if (grad_norms is not None
+                    and self.global_step % self.config.log_gradients_every == 0):
+                norms_host = jax.device_get(grad_norms)
+                layer_norms = self.gradient_monitor.update(norms_host)
+                if self.use_wandb:
+                    wandb.log({f"grads/{k}": v for k, v in layer_norms.items()}
+                              | {"train/step": self.global_step})
             if num_batches % 8 == 0:
                 jax.block_until_ready(metrics["loss"])
                 float(metrics["loss"])

@@ -244,6 +244,7 @@ def main():
         save_best=checkpoint_config.get("save_best", True),
         log_every=console_config.get("log_every", 100),
         log_images_every=wandb_config.get("log_images_every", 5),
+        log_gradients_every=logging_config.get("log_gradients_every", 0),
         use_wandb=use_wandb,
         wandb_project=wandb_config.get("project", "face-super-resolution"),
         gan_weight=gan_weight,

@@ -247,3 +247,24 @@ def test_infer_config_rejects_sub_floor_bottleneck():
     ca["fc1_w"] = ca["fc1_w"][..., :4]  # bottleneck 4 < floor 8: foreign ckpt
     with pytest.raises(ValueError, match="reduction_ratio"):
         infer_model_config_from_params(params)
+
+
+def test_gradient_monitor_wiring(tmp_path):
+    # VERDICT r1 #7: log_gradients_every samples per-layer grad norms into
+    # GradientMonitor without polluting the scalar metric averages.
+    trainer = _make_trainer(tmp_path, log_gradients_every=1)
+    trainer.config.epochs = 1
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    assert trainer.gradient_monitor is not None
+    summary = trainer.gradient_monitor.summary()
+    assert any("conv_first" in name for name in summary)
+    assert any("rcab" in name for name in summary)
+    assert all(np.isfinite(v["last"]) for v in summary.values())
+    # conv_last is zero-initialized but its gradient must flow
+    assert any("conv_last" in n and v["last"] > 0 for n, v in summary.items())
+
+
+def test_gradient_monitor_off_by_default(tmp_path):
+    trainer = _make_trainer(tmp_path)
+    assert trainer.gradient_monitor is None
