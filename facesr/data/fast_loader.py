@@ -35,6 +35,8 @@ class FastHRLoader:
         prefetch_batches: int = 4,
         seed: int = 0,
         nthreads: int = 0,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,10 +48,15 @@ class FastHRLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
         self.nthreads = nthreads
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        from facesr.data.loader import host_shard
+
+        n = len(host_shard(np.arange(len(self.dataset)),
+                           self.process_index, self.process_count))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -73,12 +80,16 @@ class FastHRLoader:
         return np.ascontiguousarray(hr)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from facesr.data.loader import host_shard
+
         n = len(self.dataset)
         rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
         order = np.arange(n)
         if self.shuffle:
             rng.shuffle(order)
+        order = host_shard(order, self.process_index, self.process_count)
+        n = len(order)
 
         batches = []
         for i in range(0, n, self.batch_size):

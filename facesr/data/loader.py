@@ -18,7 +18,29 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-__all__ = ["DataLoader", "bounded_prefetch"]
+__all__ = ["DataLoader", "bounded_prefetch", "host_shard"]
+
+
+def host_shard(order: np.ndarray, process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> np.ndarray:
+    """Disjoint equal-length per-host slice of a (shuffled) index order.
+
+    All hosts must call with the same `order` (same seed/epoch); each gets
+    len(order) // process_count contiguous entries, so step counts match
+    across hosts. Defaults resolve from the JAX runtime lazily; with one
+    process this is the identity."""
+    if process_count is None or process_index is None:
+        try:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        except Exception:
+            return order
+    if process_count <= 1:
+        return order
+    per_host = len(order) // process_count
+    return order[process_index * per_host:(process_index + 1) * per_host]
 
 _STOP = object()
 
@@ -44,6 +66,12 @@ class DataLoader:
         num_workers: decode threads (0 = synchronous).
         prefetch_batches: bound of the ready-batch queue.
         seed: shuffle seed; each epoch reshuffles deterministically.
+        process_index / process_count: multi-host sharding (SURVEY §5
+            "per-host input pipeline sharding") — every host computes the
+            SAME seeded shuffle and takes a disjoint equal-length slice, so
+            hosts see disjoint data yet run identical step counts (unequal
+            counts would hang collectives). None = jax.process_* at iter
+            time; single-process stays a no-op.
     """
 
     def __init__(
@@ -55,6 +83,8 @@ class DataLoader:
         num_workers: int = 4,
         prefetch_batches: int = 4,
         seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,10 +93,15 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch_batches = prefetch_batches
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
+    def _host_slice(self, order: np.ndarray) -> np.ndarray:
+        return host_shard(order, self.process_index, self.process_count)
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._host_slice(np.arange(len(self.dataset))))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -77,6 +112,8 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        order = self._host_slice(order)
+        n = len(order)
         batches = []
         for i in range(0, n, self.batch_size):
             idx = order[i:i + self.batch_size]

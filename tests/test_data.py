@@ -197,3 +197,54 @@ def test_paired_transform_thread_safety_and_determinism():
     with ThreadPoolExecutor(max_workers=4) as pool:
         gens = set(pool.map(gen_id, range(4)))
     assert len(gens) == 4
+
+
+def test_per_host_input_sharding():
+    # SURVEY §5 / VERDICT r1 #10: hosts take disjoint equal-length slices of
+    # the same shuffled order, so a multi-host mesh shards the dataset
+    # instead of duplicating it, with identical step counts per host.
+    from facesr.data.loader import DataLoader, host_shard
+
+    class Toy:
+        def __len__(self):
+            return 103
+
+        def __getitem__(self, i):
+            return {"hr": np.full((2, 2, 3), i, np.float32), "idx": np.int64(i)}
+
+    loaders = [DataLoader(Toy(), batch_size=4, shuffle=True, drop_last=True,
+                          num_workers=0, seed=7, process_index=r, process_count=4)
+               for r in range(4)]
+    assert len(set(len(l) for l in loaders)) == 1  # lockstep step counts
+
+    seen = []
+    for l in loaders:
+        host_idx = [int(v) for b in l for v in b["idx"]]
+        seen.append(set(host_idx))
+    all_seen = set().union(*seen)
+    assert sum(len(s) for s in seen) == len(all_seen)  # disjoint
+    assert len(all_seen) == 4 * (103 // 4 // 4) * 4
+
+    # identity with one process; deterministic given (seed, epoch)
+    order = np.random.default_rng(0).permutation(50)
+    np.testing.assert_array_equal(host_shard(order, 0, 1), order)
+    np.testing.assert_array_equal(host_shard(order, 2, 5), order[20:30])
+
+
+def test_fast_loader_per_host_sharding(tmp_path):
+    from facesr.data.fast_loader import FastHRLoader
+
+    class ToyHR:
+        def __len__(self):
+            return 32
+
+        def load_hr(self, i):
+            return np.full((8, 8, 3), i, np.uint8)
+
+    loaders = [FastHRLoader(ToyHR(), batch_size=4, crop=8, shuffle=True,
+                            num_workers=0, seed=3, process_index=r,
+                            process_count=2) for r in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 4
+    vals = [set(int(b["hr"][j, 0, 0, 0] * 255 + 0.5) for b in l for j in range(4))
+            for l in loaders]
+    assert vals[0].isdisjoint(vals[1])
