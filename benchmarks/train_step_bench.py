@@ -65,7 +65,8 @@ def main() -> None:
 
     compute_dtype = None if args.f32 else jnp.bfloat16
     model_apply = lambda p_, x, train, dtype: fen.apply(p_, x, cfg, train=train, dtype=dtype)
-    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+    loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_apply, tx,
                                         scale_factor=4, compute_dtype=compute_dtype)
     step = jax.jit(step_fn, donate_argnums=0 if args.donate else ())
 

@@ -83,9 +83,17 @@ class CombinedLoss:
             self.params = {}
 
     def apply(
-        self, loss_params: Dict[str, Any], pred: jax.Array, target: jax.Array
+        self, loss_params: Dict[str, Any], pred: jax.Array, target: jax.Array,
+        compute_dtype=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """Pure loss computation; NHWC [0,1] images; f32 math."""
+        """Pure loss computation; NHWC [0,1] images.
+
+        Pixel losses and SSIM always run f32 (SSIM's E[x^2]-E[x]^2 window
+        math cancels catastrophically below f32 — see facesr.ops.conv).
+        `compute_dtype=bf16` applies the trainer's mixed-precision policy to
+        the VGG perceptual sweep, whose 256^2-resolution convs otherwise run
+        as f32 Precision.HIGHEST on TPU (~8x the MXU cost; measured +57%
+        stage-1 step time in BENCH.md)."""
         cfg = self.config
         pred = pred.astype(jnp.float32)
         target = target.astype(jnp.float32)
@@ -105,7 +113,8 @@ class CombinedLoss:
             total = total + self.weights["l2"] * v
         if "perceptual" in self.weights:
             v = perceptual_loss(
-                loss_params["vgg"], pred, target, layers=tuple(cfg.perceptual_layers)
+                loss_params["vgg"], pred, target, layers=tuple(cfg.perceptual_layers),
+                dtype=compute_dtype,
             )
             components["perceptual"] = v
             total = total + self.weights["perceptual"] * v

@@ -47,15 +47,22 @@ def perceptual_loss(
     weights: Optional[Dict[str, float]] = None,
     criterion: str = "l1",
     normalize: bool = True,
+    dtype=None,
 ) -> jax.Array:
     """Weighted feature-matching distance over the named VGG layers.
 
     pred/target: NHWC in [0, 1]. The target branch is wrapped in
     stop_gradient (the reference's frozen extractor never backprops into
-    targets)."""
-    dist = l1_loss if criterion == "l1" else l2_loss
+    targets). `dtype` sets the sweep's compute precision (bf16 under the
+    trainer's mixed-precision policy); the feature distance itself reduces
+    in f32 either way."""
+    dist = lambda a, b: (l1_loss if criterion == "l1" else l2_loss)(
+        a.astype(jnp.float32), b.astype(jnp.float32))
     weights = weights or {l: 1.0 for l in layers}
     idxs = [vgg.LAYER_MAP[l] for l in layers]
+    if dtype is not None:
+        pred = pred.astype(dtype)
+        target = target.astype(dtype)
 
     # Remat the VGG sweep: its 256^2-resolution activations dominate HBM in
     # the backward pass otherwise (stage-1 batch on v5e OOMs without this).

@@ -113,15 +113,23 @@ def apply(
     x: jax.Array,
     cfg: DiscriminatorConfig = DiscriminatorConfig(),
     train: bool = True,
+    dtype=None,
 ) -> Tuple[jax.Array, Params]:
-    """x: NHWC image. Returns (logits [N, 1], updated batch_stats)."""
+    """x: NHWC image. Returns (logits [N, 1], updated batch_stats).
+
+    `dtype` is the compute policy for the conv/dense stack (bf16 under
+    mixed precision); batch-norm statistics and the returned logits stay
+    f32 regardless (BN variance math cancels below f32, and the GAN loss
+    reduces in f32)."""
     new_stats = {"blocks": []}
-    h = x
+    h = x.astype(dtype) if dtype is not None else x
     for block, stat, (mult, stride, bn) in zip(params["blocks"], batch_stats["blocks"], _BLOCKS):
         use_bn = "gamma" in block
         h = conv2d(h, block["w"], block.get("b"), stride=stride, padding=1)
         if use_bn:
-            h, ns = _batch_norm(h, block["gamma"], block["beta"], stat, train)
+            hf = h.astype(jnp.float32)
+            hf, ns = _batch_norm(hf, block["gamma"], block["beta"], stat, train)
+            h = hf.astype(h.dtype)
             new_stats["blocks"].append(ns)
         else:
             new_stats["blocks"].append({})
@@ -134,7 +142,7 @@ def apply(
     out = dense(h, params["fc2_w"], params["fc2_b"])
     if cfg.use_sigmoid:
         out = jax.nn.sigmoid(out)
-    return out, new_stats
+    return out.astype(jnp.float32), new_stats
 
 
 def param_count(params: Params) -> int:

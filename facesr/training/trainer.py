@@ -209,8 +209,12 @@ class Trainer:
         else:
             self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
         self.model_type = getattr(model, "model_type", "custom")
-        self._loss_apply = loss_fn.apply
         self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
+        # The mixed-precision policy extends to the loss's VGG sweep (its
+        # 256^2 convs are the single most expensive part of the stage-1
+        # step in f32 — BENCH.md); SSIM/pixel terms stay f32 inside apply.
+        _cd = self.compute_dtype
+        self._loss_apply = lambda lp, p, t: loss_fn.apply(lp, p, t, compute_dtype=_cd)
 
         # Optimizers. For the transfer model, frozen leaves (progressive
         # unfreezing) get zero updates — reference passes requires_grad=False
@@ -282,7 +286,8 @@ class Trainer:
         self._gan_step = None
         if self.use_gan:
             dcfg = self.disc_cfg
-            disc_apply = lambda p, s, x, train: disc_lib.apply(p, s, x, dcfg, train=train)
+            disc_apply = lambda p, s, x, train: disc_lib.apply(
+                p, s, x, dcfg, train=train, dtype=self.compute_dtype)
             gan_step = steps_lib.make_gan_train_step(
                 self._model_apply, self._loss_apply, disc_apply, self.tx, self.tx_d,
                 scale_factor=self.config.scale_factor,

@@ -96,3 +96,38 @@ def test_sharded_predictor_matches_single_device():
     assert got.shape == (11, 64, 64, 3)
     want = np.asarray(model(jnp.asarray(x)))
     np.testing.assert_allclose(got, np.clip(want, 0, 1), atol=1e-5)
+
+
+def test_int8_weight_quantized_serving():
+    """VERDICT r1 #8: int8 weight serving behind ShardedPredictor must stay
+    within a quality gate of the bf16 path and actually compress 4x."""
+    from facesr.parallel.serving import ShardedPredictor
+    from facesr.ops.quant import quantize_pytree, quantization_summary
+    from facesr.losses.ssim import ssim as ssim_fn
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    # random-init conv_last is zero (output == bicubic, quantization-proof);
+    # perturb it so the trunk actually contributes to the output.
+    key = jax.random.PRNGKey(5)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(key, model.params["conv_last"]["w"].shape) * 0.05
+    )
+
+    q_tree, _ = quantize_pytree(model.params)
+    summ = quantization_summary(q_tree)
+    assert summ["quantized_leaves"] >= 10
+    assert summ["compression"] > 3.0
+
+    rng = np.random.default_rng(6)
+    x = rng.random((8, 16, 16, 3), dtype=np.float32)
+    ref = ShardedPredictor(model, dtype=None, max_batch=8)(x)
+    got = ShardedPredictor(model, dtype="int8", max_batch=8)(x)
+    assert got.shape == ref.shape
+
+    mse = float(np.mean((got.astype(np.float64) - ref.astype(np.float64)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    ssim_val = float(ssim_fn(jnp.asarray(got), jnp.asarray(ref)))
+    assert psnr > 35.0, psnr   # quality gate vs the full-precision output
+    assert ssim_val > 0.95, ssim_val
+    assert not np.array_equal(got, ref)  # quantization actually happened
