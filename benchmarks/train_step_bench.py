@@ -26,6 +26,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=96)
     p.add_argument("--remat", default="rcab", choices=["rcab", "save_convs", "none"])
     p.add_argument("--vgg-remat", default="on", choices=["on", "off"])
+    p.add_argument("--gan", action="store_true",
+                   help="stage-3 step: D update + G update + adversarial term")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--hr-size", type=int, default=256)
     p.add_argument("--f32", action="store_true", help="disable the bf16 policy")
@@ -54,20 +56,36 @@ def main() -> None:
         l1_weight=1.0, perceptual_weight=1.0, ssim_weight=0.0,
         perceptual_layers=["conv3_4"],
     ))
-    if args.vgg_remat == "off":
-        import facesr.losses.perceptual as perc
-        perc.VGG_REMAT = False
+    vgg_remat = args.vgg_remat == "on"
 
     tx = make_optimizer(weight_decay=1e-4, gradient_clip=0.5)
     opt_state = set_learning_rate(tx.init(params), 1e-4)
-    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
-                       opt_state=opt_state, loss_params=loss_fn.params)
 
     compute_dtype = None if args.f32 else jnp.bfloat16
     model_apply = lambda p_, x, train, dtype: fen.apply(p_, x, cfg, train=train, dtype=dtype)
-    loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype)
-    step_fn = steps_lib.make_train_step(model_apply, loss_apply, tx,
-                                        scale_factor=4, compute_dtype=compute_dtype)
+    loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype,
+                                                 vgg_remat=vgg_remat)
+    if args.gan:
+        from facesr.models import discriminator as disc_lib
+
+        dcfg, d_params, d_stats = disc_lib.create_discriminator(
+            input_size=args.hr_size)
+        tx_d = make_optimizer(weight_decay=0.0, gradient_clip=0.0)
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           opt_state=opt_state, loss_params=loss_fn.params,
+                           d_params=d_params, d_stats=d_stats,
+                           d_opt_state=set_learning_rate(tx_d.init(d_params), 1e-4))
+        disc_apply = lambda p_, s, x, train: disc_lib.apply(
+            p_, s, x, dcfg, train=train, dtype=compute_dtype)
+        step_fn = steps_lib.make_gan_train_step(
+            model_apply, loss_apply, disc_apply, tx, tx_d, scale_factor=4,
+            gan_weight=0.005, gan_type="vanilla", d_updates_per_g=1,
+            compute_dtype=compute_dtype)
+    else:
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           opt_state=opt_state, loss_params=loss_fn.params)
+        step_fn = steps_lib.make_train_step(model_apply, loss_apply, tx,
+                                            scale_factor=4, compute_dtype=compute_dtype)
     step = jax.jit(step_fn, donate_argnums=0 if args.donate else ())
 
     rng = np.random.default_rng(0)
@@ -99,7 +117,7 @@ def main() -> None:
     dt = sorted(dts)[1]
     ms = dt / args.steps * 1e3
     rate = args.batch * args.steps / dt
-    print(f"batch {args.batch} remat={args.remat} vgg_remat={args.vgg_remat} "
+    print(f"batch {args.batch}{" GAN" if args.gan else ""} remat={args.remat} vgg_remat={args.vgg_remat} "
           f"dtype={'f32' if args.f32 else 'bf16'}: "
           f"{ms:.1f} ms/step, {rate:.1f} img/s/chip "
           f"(reps {[round(args.batch * args.steps / d, 1) for d in dts]})")

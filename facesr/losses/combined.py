@@ -84,7 +84,7 @@ class CombinedLoss:
 
     def apply(
         self, loss_params: Dict[str, Any], pred: jax.Array, target: jax.Array,
-        compute_dtype=None,
+        compute_dtype=None, vgg_remat=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Pure loss computation; NHWC [0,1] images.
 
@@ -114,7 +114,7 @@ class CombinedLoss:
         if "perceptual" in self.weights:
             v = perceptual_loss(
                 loss_params["vgg"], pred, target, layers=tuple(cfg.perceptual_layers),
-                dtype=compute_dtype,
+                dtype=compute_dtype, remat=vgg_remat,
             )
             components["perceptual"] = v
             total = total + self.weights["perceptual"] * v

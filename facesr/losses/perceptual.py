@@ -48,6 +48,7 @@ def perceptual_loss(
     criterion: str = "l1",
     normalize: bool = True,
     dtype=None,
+    remat: Optional[bool] = None,
 ) -> jax.Array:
     """Weighted feature-matching distance over the named VGG layers.
 
@@ -64,10 +65,13 @@ def perceptual_loss(
         pred = pred.astype(dtype)
         target = target.astype(dtype)
 
-    # Remat the VGG sweep: its 256^2-resolution activations dominate HBM in
-    # the backward pass otherwise (stage-1 batch on v5e OOMs without this).
+    # Remat the VGG sweep: saves HBM at the cost of one extra VGG forward
+    # per step. Measured on v5e (BENCH.md): OFF is ~7% faster at batch 128
+    # bf16 and still fits; batch >= 160 needs it ON.
+    if remat is None:
+        remat = VGG_REMAT
     extract = lambda p, x: vgg.extract_features(p, x, idxs, normalize=normalize)
-    if VGG_REMAT:
+    if remat:
         extract = jax.checkpoint(extract)
     pred_feats = extract(vgg_params, pred)
     # No remat on the target branch: nothing differentiates through it, so

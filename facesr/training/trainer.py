@@ -132,6 +132,10 @@ class TrainerConfig:
     scale_factor: int = 4
     mesh_axis: str = "data"
     log_dir: str = "training_logs"
+    # Remat the perceptual VGG sweep in backward. False (measured fastest,
+    # BENCH.md: +7% at batch 128 bf16) fits HBM up to batch ~128 per v5e
+    # chip; set True for larger per-chip batches.
+    vgg_remat: bool = False
 
 
 class EarlyStopping:
@@ -214,7 +218,9 @@ class Trainer:
         # 256^2 convs are the single most expensive part of the stage-1
         # step in f32 — BENCH.md); SSIM/pixel terms stay f32 inside apply.
         _cd = self.compute_dtype
-        self._loss_apply = lambda lp, p, t: loss_fn.apply(lp, p, t, compute_dtype=_cd)
+        _vr = self.config.vgg_remat
+        self._loss_apply = lambda lp, p, t: loss_fn.apply(
+            lp, p, t, compute_dtype=_cd, vgg_remat=_vr)
 
         # Optimizers. For the transfer model, frozen leaves (progressive
         # unfreezing) get zero updates — reference passes requires_grad=False
