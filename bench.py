@@ -26,6 +26,12 @@ import jax.numpy as jnp
 
 REF_GPU_IMGS_PER_SEC = 200.0  # documented estimate (see module docstring)
 
+# Measured floor anchor: the same 6x10x64 network (torch-functional oracle
+# from tests/test_convert_parity.py) under torch on THIS host's CPU
+# (1 thread, batch 4): 0.84 img/s (2026-08-16). Gives vs_baseline a
+# defensible measured floor alongside the GPU estimate above.
+TORCH_CPU_HOST_IMGS_PER_SEC = 0.84
+
 
 def main() -> None:
     from facesr.models import face_enhance_net as fen
@@ -80,6 +86,8 @@ def main() -> None:
         "vs_baseline": round(imgs_per_sec / REF_GPU_IMGS_PER_SEC, 3),
         "mxu_ceiling_utilization": round(imgs_per_sec / ceiling_imgs_per_sec, 3)
         if on_tpu else None,
+        "vs_torch_cpu_host_measured": round(
+            imgs_per_sec / TORCH_CPU_HOST_IMGS_PER_SEC, 1),
         "reps_imgs_per_sec": [round(r, 1) for r in rates],
     }))
 
