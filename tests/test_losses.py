@@ -163,3 +163,35 @@ def test_loss_tracker():
     tr.end_epoch()
     summary = tr.get_summary()
     assert summary["total"]["best"] == 1.0 and summary["total"]["worst"] == 4.5
+
+
+def test_perceptual_bf16_policy_tracks_f32():
+    # The mixed-precision policy on the VGG sweep (BENCH.md round-2: +168%
+    # step throughput) must not change loss values beyond bf16 noise, and
+    # gradients must flow and stay aligned with the f32 path.
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    params = losses.init_perceptual(jax.random.PRNGKey(0), layers=("conv3_4",))
+
+    f32 = float(losses.perceptual_loss(params, x, y, layers=("conv3_4",)))
+    bf16 = float(losses.perceptual_loss(params, x, y, layers=("conv3_4",),
+                                        dtype=jnp.bfloat16))
+    assert abs(bf16 - f32) / max(abs(f32), 1e-9) < 0.05, (bf16, f32)
+
+    g32 = jax.grad(lambda p: losses.perceptual_loss(
+        params, p, y, layers=("conv3_4",)))(x)
+    g16 = jax.grad(lambda p: losses.perceptual_loss(
+        params, p, y, layers=("conv3_4",), dtype=jnp.bfloat16))(x)
+    g32, g16 = np.asarray(g32).ravel(), np.asarray(g16, np.float32).ravel()
+    cos = g32 @ g16 / (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12)
+    # ~0.98 observed with random VGG weights (which maximize relative bf16
+    # noise); 0.95 is the regression floor.
+    assert cos > 0.95, cos
+
+    # remat on/off must be value-identical (same math, different schedule)
+    on = float(losses.perceptual_loss(params, x, y, layers=("conv3_4",),
+                                      dtype=jnp.bfloat16, remat=True))
+    off = float(losses.perceptual_loss(params, x, y, layers=("conv3_4",),
+                                       dtype=jnp.bfloat16, remat=False))
+    assert on == off
