@@ -6,9 +6,10 @@ Numerics match the reference implementation
 K = (0.01, 0.03), variance via E[x^2] - E[x]^2 (biased), MS-SSIM with the
 standard 5 scale weights and 2x2 average-pool pyramid.
 
-On TPU the depthwise gaussian conv is expressed as a grouped
-`lax.conv_general_dilated` (feature_group_count = C); XLA lowers it to the
-VPU/MXU and fuses the elementwise SSIM algebra around it.
+On TPU the depthwise gaussian filter runs as two separable 1-D grouped
+`lax.conv_general_dilated` passes (the window is outer(g, g)); XLA fuses
+the elementwise SSIM algebra around them. `create_gaussian_window` keeps
+building the full 2-D window for golden tests against the reference.
 """
 
 from __future__ import annotations
@@ -37,8 +38,27 @@ def create_gaussian_window(window_size: int, sigma: float, channels: int) -> np.
     return np.tile(w2d[:, :, None, None], (1, 1, 1, channels))
 
 
-def _filter(x: jax.Array, window: jax.Array, pad: int, channels: int) -> jax.Array:
-    return conv2d(x, window, padding=pad, feature_group_count=channels)
+@functools.lru_cache(maxsize=16)
+def _gaussian_1d(window_size: int, sigma: float, channels: int) -> np.ndarray:
+    """The 1-D factor of the gaussian window, [k, 1, 1, C]."""
+    coords = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    return np.tile(g[:, None, None, None].astype(np.float32), (1, 1, 1, channels))
+
+
+def _filter(x: jax.Array, window_size: int, sigma: float, channels: int) -> jax.Array:
+    """Depthwise gaussian blur, SAME zero padding.
+
+    The 2-D window is outer(g, g), so it runs as two 1-D depthwise passes
+    (k+k taps instead of k*k — 5.5x fewer MACs at k=11). Equal to the full
+    window up to float associativity; pinned by tests against the full
+    2-D conv and the torch oracle."""
+    g_col = jnp.asarray(_gaussian_1d(window_size, sigma, channels))
+    pad = window_size // 2
+    x = conv2d(x, g_col, padding=[(pad, pad), (0, 0)], feature_group_count=channels)
+    g_row = g_col.reshape(1, window_size, 1, channels)
+    return conv2d(x, g_row, padding=[(0, 0), (pad, pad)], feature_group_count=channels)
 
 
 def ssim(
@@ -52,20 +72,18 @@ def ssim(
 ) -> jax.Array:
     """SSIM over NHWC images (reference ssim_loss.py:44-98)."""
     channels = pred.shape[-1]
-    window = jnp.asarray(create_gaussian_window(window_size, sigma, channels))
-    pad = window_size // 2
     c1 = (K[0] * data_range) ** 2
     c2 = (K[1] * data_range) ** 2
 
-    mu_p = _filter(pred, window, pad, channels)
-    mu_t = _filter(target, window, pad, channels)
+    mu_p = _filter(pred, window_size, sigma, channels)
+    mu_t = _filter(target, window_size, sigma, channels)
     mu_pp = mu_p * mu_p
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
 
-    sigma_pp = _filter(pred * pred, window, pad, channels) - mu_pp
-    sigma_tt = _filter(target * target, window, pad, channels) - mu_tt
-    sigma_pt = _filter(pred * target, window, pad, channels) - mu_pt
+    sigma_pp = _filter(pred * pred, window_size, sigma, channels) - mu_pp
+    sigma_tt = _filter(target * target, window_size, sigma, channels) - mu_tt
+    sigma_pt = _filter(pred * target, window_size, sigma, channels) - mu_pt
 
     num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)
     den = (mu_pp + mu_tt + c1) * (sigma_pp + sigma_tt + c2)
@@ -86,8 +104,6 @@ def ms_ssim(
 ) -> jax.Array:
     """Multi-scale SSIM (reference ssim_loss.py:101-171)."""
     channels = pred.shape[-1]
-    window = jnp.asarray(create_gaussian_window(window_size, sigma, channels))
-    pad = window_size // 2
     K = (0.01, 0.03)
     c1 = (K[0] * data_range) ** 2
     c2 = (K[1] * data_range) ** 2
@@ -96,12 +112,12 @@ def ms_ssim(
     mcs = []
     msssim_last = None
     for i in range(levels):
-        mu_p = _filter(pred, window, pad, channels)
-        mu_t = _filter(target, window, pad, channels)
+        mu_p = _filter(pred, window_size, sigma, channels)
+        mu_t = _filter(target, window_size, sigma, channels)
         mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
-        sigma_pp = _filter(pred * pred, window, pad, channels) - mu_pp
-        sigma_tt = _filter(target * target, window, pad, channels) - mu_tt
-        sigma_pt = _filter(pred * target, window, pad, channels) - mu_pt
+        sigma_pp = _filter(pred * pred, window_size, sigma, channels) - mu_pp
+        sigma_tt = _filter(target * target, window_size, sigma, channels) - mu_tt
+        sigma_pt = _filter(pred * target, window_size, sigma, channels) - mu_pt
 
         luminance = (2 * mu_pt + c1) / (mu_pp + mu_tt + c1)
         cs = (2 * sigma_pt + c2) / (sigma_pp + sigma_tt + c2)

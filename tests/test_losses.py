@@ -195,3 +195,18 @@ def test_perceptual_bf16_policy_tracks_f32():
     off = float(losses.perceptual_loss(params, x, y, layers=("conv3_4",),
                                        dtype=jnp.bfloat16, remat=False))
     assert on == off
+
+
+def test_ssim_separable_filter_matches_full_window():
+    # The separable 1-D gaussian passes must equal the full 11x11 depthwise
+    # conv (outer(g, g) identity) to float precision.
+    from facesr.losses.ssim import _filter, create_gaussian_window
+    from facesr.ops import conv2d
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+    full = conv2d(x, jnp.asarray(create_gaussian_window(11, 1.5, 3)),
+                  padding=5, feature_group_count=3)
+    sep = _filter(x, 11, 1.5, 3)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(full),
+                               atol=2e-6, rtol=1e-5)
