@@ -26,8 +26,14 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=96)
     p.add_argument("--remat", default="rcab", choices=["rcab", "save_convs", "none"])
     p.add_argument("--vgg-remat", default="on", choices=["on", "off"])
+    p.add_argument("--ssim-weight", type=float, default=0.0,
+                   help="add the SSIM loss term (stage-2 configuration)")
     p.add_argument("--gan", action="store_true",
                    help="stage-3 step: D update + G update + adversarial term")
+    p.add_argument("--d-updates", type=int, default=1,
+                   help="discriminator updates per G step (0 = ablate the D update)")
+    p.add_argument("--gan-weight", type=float, default=0.005,
+                   help="0 ablates the D forward inside the G update")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--hr-size", type=int, default=256)
     p.add_argument("--f32", action="store_true", help="disable the bf16 policy")
@@ -53,7 +59,7 @@ def main() -> None:
                                    num_channels=64, remat=args.remat)
     params = fen.init(jax.random.PRNGKey(0), cfg)
     loss_fn = fc.CombinedLoss(fc.LossConfig(
-        l1_weight=1.0, perceptual_weight=1.0, ssim_weight=0.0,
+        l1_weight=1.0, perceptual_weight=1.0, ssim_weight=args.ssim_weight,
         perceptual_layers=["conv3_4"],
     ))
     vgg_remat = args.vgg_remat == "on"
@@ -79,8 +85,8 @@ def main() -> None:
             p_, s, x, dcfg, train=train, dtype=compute_dtype)
         step_fn = steps_lib.make_gan_train_step(
             model_apply, loss_apply, disc_apply, tx, tx_d, scale_factor=4,
-            gan_weight=0.005, gan_type="vanilla", d_updates_per_g=1,
-            compute_dtype=compute_dtype)
+            gan_weight=args.gan_weight, gan_type="vanilla",
+            d_updates_per_g=args.d_updates, compute_dtype=compute_dtype)
     else:
         state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                            opt_state=opt_state, loss_params=loss_fn.params)

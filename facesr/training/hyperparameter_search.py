@@ -81,6 +81,7 @@ class GridSearchTrainer:
         scale_factor: int = 4,
         steps_per_epoch: int = 20,
         seed: int = 0,
+        use_amp: bool = True,
     ):
         self.train_data = np.asarray(train_data, np.float32)
         self.val_data = np.asarray(val_data, np.float32)
@@ -88,6 +89,9 @@ class GridSearchTrainer:
         self.results_path = Path(results_path)
         self.scale_factor = scale_factor
         self.steps_per_epoch = steps_per_epoch
+        # bf16 compute policy for the mini loop (the reference grid search
+        # trains under AMP, hyperparameter_search.py:199-402); f32 eval.
+        self.use_amp = use_amp
         self.seed = seed
         self.results: Dict[str, ExperimentResult] = {}
         self._load_results()
@@ -143,13 +147,16 @@ class GridSearchTrainer:
         tx = optax.adamw(cfg.learning_rate)
         opt_state = tx.init(params)
 
+        compute_dtype = jnp.bfloat16 if self.use_amp else None
+
         @jax.jit
         def train_step(params, opt_state, hr):
             lr_img = bicubic_down(hr, self.scale_factor)
 
             def loss_f(p):
-                sr = fen.apply(p, lr_img, model_cfg, train=True)
-                total, _ = loss_fn.apply(loss_fn.params, sr, hr)
+                sr = fen.apply(p, lr_img, model_cfg, train=True, dtype=compute_dtype)
+                total, _ = loss_fn.apply(loss_fn.params, sr, hr,
+                                         compute_dtype=compute_dtype)
                 return total
 
             loss, grads = jax.value_and_grad(loss_f)(params)
