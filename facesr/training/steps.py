@@ -165,10 +165,16 @@ def make_gan_train_step(
         hr = hr.astype(jnp.float32)
         lr_img = bicubic_down(hr, scale_factor)
 
-        # Fake batch for D updates: generator output, detached
-        sr_for_d = jax.lax.stop_gradient(
-            model_apply(state.params, lr_img, train=True, dtype=compute_dtype)
+        # ONE generator forward serves both roles: its value (detached) is
+        # the fake batch for the D updates, and its vjp closure carries the
+        # gradient path for the G update afterwards — the reference runs a
+        # separate no_grad forward for the fakes (trainer.py:431-436), which
+        # here would cost a full extra G forward per step.
+        sr, g_pullback = jax.vjp(
+            lambda p: model_apply(p, lr_img, train=True, dtype=compute_dtype),
+            state.params,
         )
+        sr_for_d = jax.lax.stop_gradient(sr)
 
         d_params, d_stats, d_opt_state = state.d_params, state.d_stats, state.d_opt_state
         d_loss = d_real_score = d_fake_score = jnp.asarray(0.0, jnp.float32)
@@ -188,20 +194,23 @@ def make_gan_train_step(
             d_real_score = jax.nn.sigmoid(d_real).mean()
             d_fake_score = jax.nn.sigmoid(d_fake).mean()
 
-        # Generator update (adversarial term through the updated D)
-        def g_loss_fn(params, stats):
-            sr = model_apply(params, lr_img, train=True, dtype=compute_dtype)
-            content, comps = loss_apply(state.loss_params, sr, hr)
-            d_out, stats = disc_apply(d_params, stats, sr, train=True)
+        # Generator update (adversarial term through the updated D): the
+        # loss head differentiates w.r.t. the ALREADY-COMPUTED sr, then the
+        # cotangent pulls back through the single generator forward above.
+        # d_stats is threaded as a nondiff aux (BN running stats update).
+        def g_head(sr_, stats):
+            content, comps = loss_apply(state.loss_params, sr_, hr)
+            d_out, stats = disc_apply(d_params, stats, sr_, train=True)
             g_adv = gan_loss(d_out, True, gan_type)
             total = content + gan_weight * g_adv
             comps = dict(comps)
             comps["g_adv"] = g_adv
             return total, (comps, stats)
 
-        (g_loss, (comps, d_stats)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params, d_stats
-        )
+        (g_loss, (comps, d_stats)), sr_bar = jax.value_and_grad(
+            g_head, has_aux=True
+        )(sr, d_stats)
+        (grads,) = g_pullback(sr_bar)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
