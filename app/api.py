@@ -41,13 +41,28 @@ import cv2
 class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
-    def __init__(self, checkpoint_dir: str):
+    def __init__(self, checkpoint_dir: str, dtype: str | None = None):
+        """dtype: None/'f32' direct forwards; 'bf16' or 'int8' route through
+        ShardedPredictor ('int8' = per-channel weight quantization, 4x
+        smaller weights in device memory — see facesr.ops.quant)."""
         from app.demo import load_models_from_checkpoints
 
         self.models = load_models_from_checkpoints(checkpoint_dir)
         if not self.models:
             raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
         self.default = next(iter(self.models))
+        self.predictors = {}
+        if dtype and dtype != "f32":
+            import jax
+            import jax.numpy as jnp
+            from facesr.parallel.serving import ShardedPredictor
+
+            jdtype = "int8" if dtype == "int8" else jnp.bfloat16
+            n = len(jax.devices())
+            self.predictors = {
+                name: ShardedPredictor(m, dtype=jdtype, max_batch=n)
+                for name, m in self.models.items()
+            }
 
     def model_info(self):
         from dataclasses import asdict, is_dataclass
@@ -73,7 +88,10 @@ class SRService:
             raise ValueError("could not decode image")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         lr, _ = prepare_inputs(rgb)
-        sr = np.asarray(self.models[name](jnp.asarray(lr[None])))[0]
+        if name in self.predictors:
+            sr = self.predictors[name](lr[None])[0]
+        else:
+            sr = np.asarray(self.models[name](jnp.asarray(lr[None])))[0]
         sr_u8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
         ok, png = cv2.imencode(".png", cv2.cvtColor(sr_u8, cv2.COLOR_RGB2BGR))
         if not ok:
@@ -141,8 +159,9 @@ def make_handler(service: SRService):
     return Handler
 
 
-def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0"):
-    service = SRService(checkpoint_dir)
+def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0",
+          dtype: str | None = None):
+    service = SRService(checkpoint_dir, dtype=dtype)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"facesr API serving {list(service.models)} on {host}:{port}")
     return server
@@ -154,6 +173,10 @@ def main():
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default=None,
+                        choices=["f32", "bf16", "int8"],
+                        help="serving precision; int8 = weight-quantized "
+                             "(4x smaller weights, quality-gated in tests)")
     args = parser.parse_args()
 
     if args.platform:
@@ -161,7 +184,7 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    server = serve(args.checkpoint_dir, args.port, args.host)
+    server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

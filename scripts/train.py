@@ -231,6 +231,7 @@ def main():
         gradient_clip=gradient_clip,
         accumulation_steps=training_config.get("accumulation_steps", 1),
         use_amp=training_config.get("mixed_precision", True),
+        vgg_remat=training_config.get("vgg_remat", False),
         scheduler_type=scheduler_config.get("type", "cosine"),
         scheduler_T_max=scheduler_config.get("T_max", epochs),
         scheduler_eta_min=scheduler_config.get("eta_min", 1e-7),
