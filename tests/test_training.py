@@ -268,3 +268,34 @@ def test_gradient_monitor_wiring(tmp_path):
 def test_gradient_monitor_off_by_default(tmp_path):
     trainer = _make_trainer(tmp_path)
     assert trainer.gradient_monitor is None
+
+
+def test_remat_modes_equivalent_gradients():
+    # remat selects a schedule, not math: loss and grads must match across
+    # rcab / save_convs / none on the same params and batch.
+    import jax.numpy as jnp
+    from facesr.training.steps import make_train_step, make_optimizer, set_learning_rate, TrainState
+
+    hr = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), dtype=np.float32))
+    results = {}
+    for mode in ("rcab", "save_convs", "none"):
+        cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                       blocks_per_group=2, remat=mode)
+        params = fen.init(jax.random.PRNGKey(0), cfg)
+        loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0,
+                                          ssim_weight=0.1)
+        tx = make_optimizer(weight_decay=0.0, gradient_clip=0.0)
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           opt_state=set_learning_rate(tx.init(params), 1e-3),
+                           loss_params=loss_fn.params)
+        step = jax.jit(make_train_step(
+            lambda p, x, train, dtype, _c=cfg: fen.apply(p, x, _c, train=train, dtype=dtype),
+            loss_fn.apply, tx, scale_factor=4))
+        new_state, metrics = step(state, hr)
+        results[mode] = (float(metrics["loss"]),
+                         np.asarray(new_state.params["conv_first"]["w"]))
+    base_loss, base_w = results["rcab"]
+    for mode in ("save_convs", "none"):
+        loss, w = results[mode]
+        assert abs(loss - base_loss) < 1e-6, (mode, loss, base_loss)
+        np.testing.assert_allclose(w, base_w, atol=1e-6, rtol=1e-5, err_msg=mode)
