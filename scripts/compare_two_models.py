@@ -76,8 +76,10 @@ def annotate(img, label):
 def main():
     parser = argparse.ArgumentParser(description="Compare SR models vs OpenCV baselines")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
-    parser.add_argument("--test-dir", type=str, default="data/processed/test/HR")
-    parser.add_argument("--output", type=str, default="outputs/compare_models")
+    parser.add_argument("--test-dir", "--hr-dir", dest="test_dir", type=str,
+                        default="data/processed/test/HR")
+    parser.add_argument("--output", "--output-dir", dest="output", type=str,
+                        default="outputs/compare_models")
     parser.add_argument("--num-images", type=int, default=100)
     parser.add_argument("--save-every", type=int, default=20,
                         help="Save a comparison strip every N images")

@@ -23,7 +23,9 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser(description="Measure SR inference latency")
-    parser.add_argument("--checkpoint", type=str, default=None,
+    parser.add_argument("--checkpoint", "--custom-checkpoint",
+                        "--transfer-checkpoint", dest="checkpoint",
+                        type=str, default=None,
                         help="Checkpoint to time (default: fresh 6x10x64 model, "
                              "reference default :152-158)")
     parser.add_argument("--input-size", type=int, default=64)

@@ -121,8 +121,18 @@ def main():
                                  "checkpoints/stage3_final.fckpt"])
     parser.add_argument("--names", type=str, nargs="+",
                         default=["Stage 1 (PSNR)", "Stage 2 (SSIM)", "Stage 3 (GAN)"])
-    parser.add_argument("--output", type=str, default="outputs/training_plots")
+    parser.add_argument("--output", "--output-dir", dest="output", type=str,
+                        default="outputs/training_plots")
+    # reference spelling: one flag per stage checkpoint
+    parser.add_argument("--stage1", type=str, default=None)
+    parser.add_argument("--stage2", type=str, default=None)
+    parser.add_argument("--stage3", type=str, default=None)
     args = parser.parse_args()
+
+    stage_flags = [args.stage1, args.stage2, args.stage3]
+    if any(stage_flags):
+        args.checkpoints = [p for p in stage_flags if p]
+        args.names = [f"Stage {i + 1}" for i, p in enumerate(stage_flags) if p]
 
     out = Path(args.output)
     histories, names = [], []

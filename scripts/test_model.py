@@ -123,11 +123,15 @@ def _print_row(r: dict) -> None:
 def main():
     parser = argparse.ArgumentParser(description="Test Face Super-Resolution Model")
     parser.add_argument("--checkpoint", type=str, required=True)
-    parser.add_argument("--input", type=str, required=True,
-                        help="HR image file or directory")
-    parser.add_argument("--output", type=str, default="outputs/test_results")
+    parser.add_argument("--input", "--image", "--hr-dir", dest="input",
+                        type=str, required=True,
+                        help="HR image file or directory (reference spells "
+                             "this --image / --hr-dir)")
+    parser.add_argument("--output", "--output-dir", dest="output",
+                        type=str, default="outputs/test_results")
     parser.add_argument("--scale", type=int, default=4)
-    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--max-images", "--num-images", dest="max_images",
+                        type=int, default=None)
     parser.add_argument("--no-comparison", action="store_true")
     parser.add_argument("--per-image", action="store_true",
                         help="Legacy batch-1 forwards instead of the batched "

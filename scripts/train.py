@@ -74,12 +74,22 @@ def main():
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu) — the env's TPU "
                              "plugin ignores JAX_PLATFORMS")
+    parser.add_argument("--device", type=str, default=None,
+                        help="Reference-compat alias: 'cpu' maps to "
+                             "--platform cpu; 'cuda' is ignored (JAX picks "
+                             "the accelerator automatically)")
     parser.add_argument("--fast-loader", action="store_true",
                         help="Use the native (C++) HR-only batch assembler "
                              "for the training loader (LR is synthesized "
                              "on-device by the trainer anyway)")
     args = parser.parse_args()
 
+    if args.device and not args.platform:
+        if args.device == "cpu":
+            args.platform = "cpu"
+        else:
+            print(f"Note: --device {args.device} ignored; JAX selects the "
+                  f"accelerator (use --platform to force one).")
     if args.platform:
         import jax
 
