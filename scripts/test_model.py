@@ -164,7 +164,7 @@ def main():
 
     print(f"\nTesting on {len(files)} image(s)...\n")
     results = []
-    if args.per_image:
+    if args.per_image or len(files) == 1:  # no point padding one image
         for f in files:
             r = test_single_image(model, f, output_dir, args.scale,
                                   save_comparison=not args.no_comparison)
