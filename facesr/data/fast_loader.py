@@ -53,10 +53,9 @@ class FastHRLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        from facesr.data.loader import host_shard
+        from facesr.data.loader import host_shard_len
 
-        n = len(host_shard(np.arange(len(self.dataset)),
-                           self.process_index, self.process_count))
+        n = host_shard_len(len(self.dataset), self.process_index, self.process_count)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

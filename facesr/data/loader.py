@@ -18,7 +18,19 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-__all__ = ["DataLoader", "bounded_prefetch", "host_shard"]
+__all__ = ["DataLoader", "bounded_prefetch", "host_shard", "host_shard_len"]
+
+
+def _resolve_process(process_index: Optional[int],
+                     process_count: Optional[int]) -> tuple[int, int]:
+    if process_count is None or process_index is None:
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
+    return process_index, process_count
 
 
 def host_shard(order: np.ndarray, process_index: Optional[int] = None,
@@ -29,18 +41,25 @@ def host_shard(order: np.ndarray, process_index: Optional[int] = None,
     len(order) // process_count contiguous entries, so step counts match
     across hosts. Defaults resolve from the JAX runtime lazily; with one
     process this is the identity."""
-    if process_count is None or process_index is None:
-        try:
-            import jax
-
-            process_count = jax.process_count()
-            process_index = jax.process_index()
-        except Exception:
-            return order
+    process_index, process_count = _resolve_process(process_index, process_count)
     if process_count <= 1:
         return order
     per_host = len(order) // process_count
     return order[process_index * per_host:(process_index + 1) * per_host]
+
+
+def host_shard_len(n: int, process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> int:
+    """len(host_shard(arange(n))) without materializing the array or (when
+    process_* are given explicitly) touching the JAX runtime."""
+    import sys
+
+    if (process_index, process_count) == (None, None) and "jax" not in sys.modules:
+        # Don't import/initialize JAX just to answer len(); a process that
+        # never imported jax is single-process by construction.
+        return n
+    process_index, process_count = _resolve_process(process_index, process_count)
+    return n if process_count <= 1 else n // process_count
 
 _STOP = object()
 
@@ -101,7 +120,7 @@ class DataLoader:
         return host_shard(order, self.process_index, self.process_count)
 
     def __len__(self) -> int:
-        n = len(self._host_slice(np.arange(len(self.dataset))))
+        n = host_shard_len(len(self.dataset), self.process_index, self.process_count)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

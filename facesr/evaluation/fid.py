@@ -12,6 +12,7 @@ pipeline are unit-tested directly.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Dict, List, Optional
 
@@ -62,9 +63,7 @@ def inception_activations(images: List[np.ndarray], weights: Dict,
     from facesr.models import inception
 
     size = (inception.INPUT_SIZE, inception.INPUT_SIZE)
-    # Images are pre-resized host-side so one program serves mixed sizes;
-    # apply() then sees uniform 299x299 and skips its own resize.
-    fwd = jax.jit(lambda p, x: inception.apply(p, x, resize_input=False))
+    _inception_fwd, _resize_batch = _jitted()
 
     def to_float(img: np.ndarray) -> np.ndarray:
         arr = np.asarray(img)
@@ -73,21 +72,43 @@ def inception_activations(images: List[np.ndarray], weights: Dict,
         arr = arr.astype(np.float32)
         if arr.ndim == 2:
             arr = np.repeat(arr[..., None], 3, axis=-1)
-        if arr.shape[:2] != size:
-            arr = np.asarray(inception.resize2d(jnp.asarray(arr[None]), size,
-                                                method="bilinear")[0])
         return arr
 
     outs = []
     for start in range(0, len(images), batch_size):
         chunk = [to_float(im) for im in images[start:start + batch_size]]
+        # Pre-resize to 299 host-batched (grouped by shape) so ONE forward
+        # program serves mixed input sizes; apply() skips its own resize.
+        by_shape: Dict[tuple, list] = {}
+        for i, im in enumerate(chunk):
+            by_shape.setdefault(im.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            if shape[:2] == size:
+                continue
+            resized = np.asarray(_resize_batch(
+                jnp.asarray(np.stack([chunk[i] for i in idxs]))))
+            for j, i in enumerate(idxs):
+                chunk[i] = resized[j]
         n = len(chunk)
         if n < batch_size:
             chunk += [np.zeros_like(chunk[0])] * (batch_size - n)
         batch = jnp.asarray(np.stack(chunk))
-        acts = np.asarray(jax.device_get(fwd(weights, batch)))
+        acts = np.asarray(jax.device_get(_inception_fwd(weights, batch)))
         outs.append(acts[:n])
     return np.concatenate(outs, axis=0)
+
+
+@_functools.lru_cache(maxsize=1)
+def _jitted():
+    """Process-cached jitted fns: jax.jit caches by function identity, so a
+    fresh per-call lambda would recompile the 94-conv forward every call."""
+    import jax
+    from facesr.models import inception
+
+    fwd = jax.jit(lambda p, x: inception.apply(p, x, resize_input=False))
+    rsz = jax.jit(lambda x: inception.resize2d(
+        x, (inception.INPUT_SIZE, inception.INPUT_SIZE), method="bilinear"))
+    return fwd, rsz
 
 
 def fid_from_images(real_images: List[np.ndarray], fake_images: List[np.ndarray],

@@ -35,26 +35,20 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
 
     Non-quantizable leaves pass through unchanged with a scalar 1.0 scale
     so both trees keep the params structure (jit-friendly)."""
-    def q(leaf):
+    def qs(leaf):
         leaf = jnp.asarray(leaf)
         if not _quantizable(leaf):
-            return leaf
+            return leaf, jnp.asarray(1.0, jnp.float32)
         f = leaf.astype(jnp.float32)
         axes = tuple(range(leaf.ndim - 1))
         scale = jnp.max(jnp.abs(f), axis=axes, keepdims=True) / 127.0
         scale = jnp.where(scale == 0, 1.0, scale)
-        return jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+        q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+        return q, scale
 
-    def s(leaf):
-        leaf = jnp.asarray(leaf)
-        if not _quantizable(leaf):
-            return jnp.asarray(1.0, jnp.float32)
-        f = leaf.astype(jnp.float32)
-        axes = tuple(range(leaf.ndim - 1))
-        scale = jnp.max(jnp.abs(f), axis=axes, keepdims=True) / 127.0
-        return jnp.where(scale == 0, 1.0, scale)
-
-    return jax.tree.map(q, params), jax.tree.map(s, params)
+    pairs = jax.tree.map(qs, params)
+    return (jax.tree.map(lambda p: p[0], pairs, is_leaf=lambda n: isinstance(n, tuple)),
+            jax.tree.map(lambda p: p[1], pairs, is_leaf=lambda n: isinstance(n, tuple)))
 
 
 def dequantize_pytree(q_tree: Any, scale_tree: Any, dtype=jnp.bfloat16) -> Any:

@@ -221,6 +221,11 @@ class Trainer:
         _vr = self.config.vgg_remat
         self._loss_apply = lambda lp, p, t: loss_fn.apply(
             lp, p, t, compute_dtype=_cd, vgg_remat=_vr)
+        # Validation stays f32 end to end (the eval forward already is):
+        # best-model selection / early stopping on val_loss must not compare
+        # bf16-noisy values, and no backward runs so remat is moot.
+        self._loss_apply_eval = lambda lp, p, t: loss_fn.apply(
+            lp, p, t, compute_dtype=None, vgg_remat=False)
 
         # Optimizers. For the transfer model, frozen leaves (progressive
         # unfreezing) get zero updates — reference passes requires_grad=False
@@ -306,7 +311,8 @@ class Trainer:
             self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh), donate_argnums=0)
 
         eval_step = steps_lib.make_eval_step(
-            self._model_apply, self._loss_apply, scale_factor=self.config.scale_factor
+            self._model_apply, self._loss_apply_eval,
+            scale_factor=self.config.scale_factor,
         )
         self._eval_step = jax.jit(eval_step, in_shardings=(repl, bsh))
 

@@ -143,8 +143,10 @@ def main():
         h = load_history(ckpt)
         histories.append(h)
         names.append(name)
-        stem = Path(ckpt).stem
-        plot_stage(h, name, out / f"{stem}_curves.png")
+        # Stage checkpoints often share a stem (final_model.fckpt per stage
+        # dir); prefix with the stage name so per-stage plots don't collide.
+        slug = name.lower().replace(" ", "_").replace("(", "").replace(")", "")
+        plot_stage(h, name, out / f"{slug}_{Path(ckpt).stem}_curves.png")
 
     if len(histories) > 1:
         plot_combined(histories, names, out / "combined_overview.png")
