@@ -223,3 +223,26 @@ def test_fid_unavailable_without_weights(monkeypatch):
     with pytest.raises(RuntimeError, match="weights unavailable"):
         fid_from_images([np.zeros((8, 8, 3), np.uint8)],
                         [np.zeros((8, 8, 3), np.uint8)])
+
+
+def test_inception_convert_pth_cli_roundtrip(tmp_path, monkeypatch):
+    """torch.save -> convert_pth(kind='inception') -> load_inception_weights
+    (env-var gate) -> jitted forward: the unattended path for the day real
+    pt_inception weights appear."""
+    torch = pytest.importorskip("torch")
+    from facesr.ckpt.convert import convert_pth
+
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_state_dict(seed=5).items()}
+    sd["fc.weight"] = torch.zeros(1000, 2048)  # classifier head: ignored
+    sd["fc.bias"] = torch.zeros(1000)
+    pth = str(tmp_path / "pt_inception-2015-12-05.pth")
+    torch.save(sd, pth)
+    out = str(tmp_path / "inception_fid.fckpt")
+    convert_pth(pth, out, kind="inception")
+
+    monkeypatch.setenv(inception.ENV_WEIGHTS, out)
+    weights = inception.load_inception_weights()
+    assert weights is not None and len(weights) == 94
+    acts = inception.apply(weights, jnp.zeros((1, 75, 75, 3)))
+    assert acts.shape == (1, 2048)
+    assert bool(jnp.isfinite(acts).all())
