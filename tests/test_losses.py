@@ -210,3 +210,46 @@ def test_ssim_separable_filter_matches_full_window():
     sep = _filter(x, 11, 1.5, 3)
     np.testing.assert_allclose(np.asarray(sep), np.asarray(full),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_ms_ssim_matches_torch_oracle():
+    # Full 5-scale MS-SSIM vs a torch functional oracle implementing the
+    # reference semantics (ssim_loss.py:101-171), including its quirk of
+    # NOT raising the final-scale term to weights[-1].
+    import torch
+    import torch.nn.functional as F
+
+    def torch_ms_ssim(pred, target, weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)):
+        channels = pred.shape[1]
+        coords = torch.arange(11, dtype=torch.float32) - 5
+        g = torch.exp(-(coords ** 2) / (2 * 1.5 ** 2))
+        g = g / g.sum()
+        win = (g[:, None] @ g[None, :]).expand(channels, 1, 11, 11).contiguous()
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        mcs, last = [], None
+        for i in range(len(weights)):
+            f = lambda x: F.conv2d(x, win, padding=5, groups=channels)
+            mu_p, mu_t = f(pred), f(target)
+            s_pp = f(pred * pred) - mu_p ** 2
+            s_tt = f(target * target) - mu_t ** 2
+            s_pt = f(pred * target) - mu_p * mu_t
+            lum = (2 * mu_p * mu_t + C1) / (mu_p ** 2 + mu_t ** 2 + C1)
+            cs = (2 * s_pt + C2) / (s_pp + s_tt + C2)
+            if i == len(weights) - 1:
+                last = (lum * cs).mean()
+            else:
+                mcs.append(cs.mean())
+                pred = F.avg_pool2d(pred, 2, 2)
+                target = F.avg_pool2d(target, 2, 2)
+        out = last
+        for i, m in enumerate(mcs):
+            out = out * (m ** weights[i])
+        return float(out)
+
+    rng = np.random.default_rng(22)
+    a = rng.random((2, 176, 176, 3), dtype=np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape).astype(np.float32), 0, 1)
+    got = float(losses.ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = torch_ms_ssim(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(b.transpose(0, 3, 1, 2)))
+    assert abs(got - want) < 1e-4, (got, want)
