@@ -57,7 +57,7 @@ class SRService:
             import jax.numpy as jnp
             from facesr.parallel.serving import ShardedPredictor
 
-            jdtype = "int8" if dtype == "int8" else jnp.bfloat16
+            jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
             n = len(jax.devices())
             self.predictors = {
                 name: ShardedPredictor(m, dtype=jdtype, max_batch=n)
@@ -174,7 +174,7 @@ def main():
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--dtype", type=str, default=None,
-                        choices=["f32", "bf16", "int8"],
+                        choices=["f32", "bf16", "int8", "int8_full"],
                         help="serving precision; int8 = weight-quantized "
                              "(4x smaller weights, quality-gated in tests)")
     args = parser.parse_args()

@@ -18,7 +18,8 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_pytree", "dequantize_pytree", "quantization_summary"]
+__all__ = ["quantize_pytree", "dequantize_pytree", "quantize_conv_kernels",
+           "quantization_summary"]
 
 # Leaves smaller than this stay f32: per-channel scales on tiny tensors
 # (PReLU alphas, biases, SE bottlenecks) cost accuracy for ~no footprint.
@@ -49,6 +50,40 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
     pairs = jax.tree.map(qs, params)
     return (jax.tree.map(lambda p: p[0], pairs, is_leaf=lambda n: isinstance(n, tuple)),
             jax.tree.map(lambda p: p[1], pairs, is_leaf=lambda n: isinstance(n, tuple)))
+
+
+def quantize_conv_kernels(params: Any) -> Any:
+    """Full-int8 serving transform: conv kernel leaves become
+    {"q": int8, "scale": f32} dicts that `facesr.ops.conv2d` dispatches to
+    the s8xs8->s32 conv path (dynamic per-tensor activation scales computed
+    in the forward). Non-conv leaves (biases, PReLU, SE fc matrices) pass
+    through — XLA runs those in the surrounding float policy. Measured 2x
+    the bf16 conv rate on v5e (BENCH.md); inference only.
+
+    Conv kernels are identified by the facesr layout: float leaves with
+    >= 4 dims (trailing [kh, kw, I, O]; scan-stacked kernels carry extra
+    leading [G]/[G, B] axes) outside any `ca`/`fc*` path. Scales are per
+    output channel with keepdims on the leading stack axes, so lax.scan
+    slices q and scale together."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        in_attention = any(k == "ca" or k.startswith("fc") for k in keys)
+        leaf = jnp.asarray(leaf)
+        if (in_attention or leaf.ndim < 4 or leaf.size < MIN_QUANT_SIZE
+                or leaf.dtype not in (jnp.float32, jnp.bfloat16)):
+            out.append(leaf)
+            continue
+        f = leaf.astype(jnp.float32)
+        axes = tuple(range(leaf.ndim - 4, leaf.ndim - 1))  # kh, kw, I
+        scale = jnp.max(jnp.abs(f), axis=axes, keepdims=True) / 127.0
+        scale = jnp.where(scale == 0, 1.0, scale)
+        out.append({
+            "q": jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8),
+            "scale": scale,
+        })
+    return treedef.unflatten(out)
 
 
 def dequantize_pytree(q_tree: Any, scale_tree: Any, dtype=jnp.bfloat16) -> Any:

@@ -51,6 +51,17 @@ class ShardedPredictor:
                 deq = dequantize_pytree(params["q"], params["s"], jnp.bfloat16)
                 return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
                                 0.0, 1.0)
+        elif dtype == "int8_full":
+            # Weights AND activations int8: convs run on the MXU's s8 pipe
+            # (2x the bf16 conv rate on v5e — BENCH.md); elementwise tail
+            # stays bf16. Larger quality delta than weight-only "int8".
+            from facesr.ops.quant import quantize_conv_kernels
+
+            self.params = replicate(quantize_conv_kernels(model.params), self.mesh)
+
+            def forward(params, x):
+                return jnp.clip(apply_fn(params, x, train=False, dtype=jnp.bfloat16),
+                                0.0, 1.0)
         else:
             self.params = replicate(model.params, self.mesh)
 

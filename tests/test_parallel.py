@@ -131,3 +131,37 @@ def test_int8_weight_quantized_serving():
     assert psnr > 35.0, psnr   # quality gate vs the full-precision output
     assert ssim_val > 0.95, ssim_val
     assert not np.array_equal(got, ref)  # quantization actually happened
+
+
+def test_int8_full_quantized_serving():
+    """Full-int8 (weights + dynamic activation scales) serving: the s8 conv
+    path must stay within a quality gate of f32 and produce valid shapes."""
+    from facesr.parallel.serving import ShardedPredictor
+    from facesr.ops.quant import quantize_conv_kernels
+    from facesr.losses.ssim import ssim as ssim_fn
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+
+    qp = quantize_conv_kernels(model.params)
+    # conv kernels became int8 dicts; SE fc matrices stayed float
+    assert qp["conv_first"]["w"]["q"].dtype == jnp.int8
+    assert qp["groups"]["rcab"]["conv1_w"]["q"].shape[:2] == (2, 2)  # stacked
+    assert not isinstance(qp["groups"]["rcab"]["ca"]["fc1_w"], dict)
+
+    rng = np.random.default_rng(6)
+    x = rng.random((8, 16, 16, 3), dtype=np.float32)
+    ref = ShardedPredictor(model, dtype=None, max_batch=8)(x)
+    got = ShardedPredictor(model, dtype="int8_full", max_batch=8)(x)
+    assert got.shape == ref.shape
+
+    mse = float(np.mean((got.astype(np.float64) - ref.astype(np.float64)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    ssim_val = float(ssim_fn(jnp.asarray(got, jnp.float32),
+                             jnp.asarray(ref, jnp.float32)))
+    assert psnr > 30.0, psnr
+    assert ssim_val > 0.95, ssim_val
