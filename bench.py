@@ -74,6 +74,26 @@ def main() -> None:
         rates.append(batch * iters / dt)
     imgs_per_sec = sorted(rates)[1]
 
+    # Full-int8 serving path (s8 MXU convs — BENCH.md round 2): measured on
+    # TPU only; adds one compile, so skipped on CPU smoke runs.
+    int8_rate = None
+    if on_tpu:
+        from facesr.ops.quant import quantize_conv_kernels
+
+        qp = jax.device_put(quantize_conv_kernels(params), dev)
+        fwd8 = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False,
+                                              dtype=jnp.bfloat16).sum())
+        float(fwd8(qp, x))
+        float(fwd8(qp, x))
+        r8 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd8(qp, x)
+            float(out)
+            r8.append(batch * iters / (time.perf_counter() - t0))
+        int8_rate = sorted(r8)[1]
+
     # Architecture-constrained roofline (BENCH.md): ~45 GFLOP/image, and the
     # 64-channel convs half-utilize the MXU's 128-wide output dimension,
     # capping bf16 at ~98 TF/s on v5e => ~2180 img/s/chip ceiling.
@@ -88,6 +108,7 @@ def main() -> None:
         if on_tpu else None,
         "vs_torch_cpu_host_measured": round(
             imgs_per_sec / TORCH_CPU_HOST_IMGS_PER_SEC, 1),
+        "int8_full_imgs_per_sec": round(int8_rate, 2) if int8_rate else None,
         "reps_imgs_per_sec": [round(r, 1) for r in rates],
     }))
 
