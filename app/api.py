@@ -42,9 +42,10 @@ class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
     def __init__(self, checkpoint_dir: str, dtype: str | None = None):
-        """dtype: None/'f32' direct forwards; 'bf16' or 'int8' route through
-        ShardedPredictor ('int8' = per-channel weight quantization, 4x
-        smaller weights in device memory — see facesr.ops.quant)."""
+        """dtype: None/'f32' direct forwards; 'bf16'/'int8'/'int8_full'
+        route through ShardedPredictor ('int8' = weight-only quantization,
+        'int8_full' also quantizes activations onto the MXU's s8 pipe —
+        see facesr.ops.quant and BENCH.md for the quality/speed trade)."""
         from app.demo import load_models_from_checkpoints
 
         self.models = load_models_from_checkpoints(checkpoint_dir)
@@ -175,8 +176,11 @@ def main():
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--dtype", type=str, default=None,
                         choices=["f32", "bf16", "int8", "int8_full"],
-                        help="serving precision; int8 = weight-quantized "
-                             "(4x smaller weights, quality-gated in tests)")
+                        help="serving precision; int8 = weight-only "
+                             "quantization (4x smaller weights, output "
+                             "parity-gated); int8_full also quantizes "
+                             "activations (fastest, larger quality delta "
+                             "— see BENCH.md)")
     args = parser.parse_args()
 
     if args.platform:

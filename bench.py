@@ -80,16 +80,15 @@ def main() -> None:
     if on_tpu:
         from facesr.ops.quant import quantize_conv_kernels
 
+        # same jitted fwd: jax.jit retraces for the quantized params pytree
         qp = jax.device_put(quantize_conv_kernels(params), dev)
-        fwd8 = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False,
-                                              dtype=jnp.bfloat16).sum())
-        float(fwd8(qp, x))
-        float(fwd8(qp, x))
+        float(fwd(qp, x))
+        float(fwd(qp, x))
         r8 = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = fwd8(qp, x)
+                out = fwd(qp, x)
             float(out)
             r8.append(batch * iters / (time.perf_counter() - t0))
         int8_rate = sorted(r8)[1]

@@ -88,7 +88,12 @@ def _conv2d_int8(
         x = x.astype(dtype)
     out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     xf = x.astype(jnp.float32)
-    a = jnp.max(jnp.abs(xf)) / 127.0
+    # Per-IMAGE scales (not per-batch): each image's quantization grid must
+    # not depend on its batchmates (deterministic serving regardless of
+    # chunk composition), and the reduction stays shard-local under
+    # batch-sharded multi-chip serving (a whole-tensor max would insert an
+    # all-reduce before every conv).
+    a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
     a = jnp.where(a == 0, 1.0, a)
     xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
     if isinstance(padding, int):

@@ -27,9 +27,11 @@ class ShardedPredictor:
         model: FaceEnhanceNet / RRDBNet / TransferSRModel wrapper.
         mesh: optional Mesh (defaults to all devices on a `data` axis).
         dtype: compute dtype (bf16 default on TPU; None = f32 parity path;
-            the string "int8" serves per-channel int8 weights with bf16
-            activations — weights live in HBM 4x smaller and dequantize
-            inside the jitted forward, fused into the conv weight read).
+            "int8" serves per-channel int8 weights with bf16 activations —
+            4x smaller weights, throughput parity; "int8_full" also
+            quantizes activations per image so convs run on the MXU's
+            native s8 pipe — fastest, with a larger quality delta
+            documented in BENCH.md).
         max_batch: compiled batch size; larger inputs are chunked, smaller
             padded (one compiled program total).
     """
