@@ -89,6 +89,12 @@ def main():
                              "sharded path (identical metrics)")
     parser.add_argument("--batch-size", type=int, default=None,
                         help="Compiled batch size for the batched path")
+    parser.add_argument("--serve-dtype", type=str, default=None,
+                        choices=["f32", "bf16", "int8", "int8_full"],
+                        help="Serving precision for the model forwards "
+                             "(default f32 = metric-identical to --per-image; "
+                             "use int8/int8_full to measure the quantized "
+                             "paths' quality against the baselines)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu)")
     args = parser.parse_args()
@@ -149,7 +155,13 @@ def main():
                 make_predictor, sr_batched, synthesize_lr_batched)
 
             if not predictors:
-                predictors = {name: make_predictor(m, max_batch=args.batch_size)
+                sd = {"f32": None, "bf16": None, None: None}.get(
+                    args.serve_dtype, args.serve_dtype)
+                import jax.numpy as _jnp
+
+                sd = _jnp.bfloat16 if args.serve_dtype == "bf16" else sd
+                predictors = {name: make_predictor(m, max_batch=args.batch_size,
+                                                   dtype=sd)
                               for name, m in models.items()}
             lrs = synthesize_lr_batched(hrs, args.scale)
             model_srs = {name: sr_batched(m, lrs, predictor=predictors[name])

@@ -189,3 +189,14 @@ def test_batched_eval_matches_per_image(workdir):
     run(common + ["--output", str(workdir / "cmp_legacy"), "--per-image"])
     assert (workdir / "cmp_batched" / "results_summary.txt").read_text() == \
            (workdir / "cmp_legacy" / "results_summary.txt").read_text()
+
+
+def test_compare_cli_int8_serve_dtype(workdir):
+    run(["scripts/compare_two_models.py",
+         "--checkpoint-dir", str(workdir / "ckpt"),
+         "--test-dir", str(workdir / "processed" / "test" / "HR"),
+         "--output", str(workdir / "cmp_int8"),
+         "--num-images", "2", "--platform", "cpu", "--save-every", "0",
+         "--serve-dtype", "int8_full"])
+    summary = (workdir / "cmp_int8" / "results_summary.txt").read_text()
+    assert "Best Model" in summary
