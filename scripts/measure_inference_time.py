@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--num-runs", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--bf16", action="store_true", help="bf16 compute")
+    parser.add_argument("--int8", action="store_true",
+                        help="full-int8 serving path (s8 MXU convs with "
+                             "per-image activation scales — BENCH.md)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Write a jax.profiler trace to this directory")
     parser.add_argument("--platform", type=str, default=None,
@@ -57,7 +60,11 @@ def main():
         cfg = fen.FaceEnhanceNetConfig(num_groups=6, blocks_per_group=10, num_channels=64)
         params = fen.init(jax.random.PRNGKey(0), cfg)
 
-    dtype = jnp.bfloat16 if args.bf16 else None
+    dtype = jnp.bfloat16 if (args.bf16 or args.int8) else None
+    if args.int8:
+        from facesr.ops.quant import quantize_conv_kernels
+
+        params = quantize_conv_kernels(params)
     fwd = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False, dtype=dtype).sum())
 
     x = jnp.asarray(np.random.default_rng(0).random(
@@ -67,7 +74,7 @@ def main():
     print(f"Device: {dev.platform} | model {cfg.num_groups}x{cfg.blocks_per_group}"
           f"x{cfg.num_channels} | batch {args.batch_size} | "
           f"input {args.input_size}x{args.input_size} | "
-          f"{'bf16' if args.bf16 else 'f32'}")
+          f"{'int8_full' if args.int8 else 'bf16' if args.bf16 else 'f32'}")
 
     for _ in range(args.warmup):
         float(fwd(params, x))
