@@ -25,6 +25,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -38,14 +39,42 @@ import numpy as np
 import cv2
 
 
+def _load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
+    """Load up to `limit` images as an [N, size, size, 3] float batch in
+    [0,1] (resized INTER_AREA — the scales are per-site scalars, so the
+    calibration shape need not match the serving shape)."""
+    import glob
+
+    paths = sorted(
+        p for ext in ("png", "jpg", "jpeg", "bmp")
+        for p in glob.glob(os.path.join(calib_dir, f"*.{ext}"))
+    )[:limit]
+    imgs = []
+    for p in paths:
+        bgr = cv2.imread(p, cv2.IMREAD_COLOR)
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if rgb.shape[:2] != (size, size):
+            rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_AREA)
+        imgs.append(rgb.astype(np.float32) / 255.0)
+    if not imgs:
+        raise RuntimeError(f"No readable calibration images in {calib_dir}")
+    return np.stack(imgs)
+
+
 class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
-    def __init__(self, checkpoint_dir: str, dtype: str | None = None):
+    def __init__(self, checkpoint_dir: str, dtype: str | None = None,
+                 calib_dir: str | None = None):
         """dtype: None/'f32' direct forwards; 'bf16'/'int8'/'int8_full'
         route through ShardedPredictor ('int8' = weight-only quantization,
         'int8_full' also quantizes activations onto the MXU's s8 pipe —
-        see facesr.ops.quant and BENCH.md for the quality/speed trade)."""
+        see facesr.ops.quant and BENCH.md for the quality/speed trade).
+        calib_dir: directory of representative LR images; with
+        dtype='int8_full' the predictors calibrate static activation scales
+        on them (faster hot path than the default dynamic per-image scales)."""
         from app.demo import load_models_from_checkpoints
 
         self.models = load_models_from_checkpoints(checkpoint_dir)
@@ -58,10 +87,14 @@ class SRService:
             import jax.numpy as jnp
             from facesr.parallel.serving import ShardedPredictor
 
+            calibration = None
+            if calib_dir and dtype == "int8_full":
+                calibration = _load_calibration_images(calib_dir)
             jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
             n = len(jax.devices())
             self.predictors = {
-                name: ShardedPredictor(m, dtype=jdtype, max_batch=n)
+                name: ShardedPredictor(m, dtype=jdtype, max_batch=n,
+                                       calibration=calibration)
                 for name, m in self.models.items()
             }
 
@@ -161,8 +194,8 @@ def make_handler(service: SRService):
 
 
 def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0",
-          dtype: str | None = None):
-    service = SRService(checkpoint_dir, dtype=dtype)
+          dtype: str | None = None, calib_dir: str | None = None):
+    service = SRService(checkpoint_dir, dtype=dtype, calib_dir=calib_dir)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"facesr API serving {list(service.models)} on {host}:{port}")
     return server
@@ -181,6 +214,10 @@ def main():
                              "parity-gated); int8_full also quantizes "
                              "activations (fastest, larger quality delta "
                              "— see BENCH.md)")
+    parser.add_argument("--calib-dir", type=str, default=None,
+                        help="directory of representative LR images for "
+                             "static activation-scale calibration "
+                             "(int8_full only)")
     args = parser.parse_args()
 
     if args.platform:
@@ -188,7 +225,8 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype)
+    server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype,
+                   calib_dir=args.calib_dir)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

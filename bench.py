@@ -74,24 +74,40 @@ def main() -> None:
         rates.append(batch * iters / dt)
     imgs_per_sec = sorted(rates)[1]
 
-    # Full-int8 serving path (s8 MXU convs — BENCH.md round 2): measured on
-    # TPU only; adds one compile, so skipped on CPU smoke runs.
-    int8_rate = None
+    # Full-int8 serving paths (s8 MXU convs — BENCH.md round 2): measured on
+    # TPU only; adds compiles, so skipped on CPU smoke runs.
+    int8_rate = int8_cal_rate = None
     if on_tpu:
         from facesr.ops.quant import quantize_conv_kernels
+        from facesr.parallel.serving import calibrated_qparams
 
-        # same jitted fwd: jax.jit retraces for the quantized params pytree
-        qp = jax.device_put(quantize_conv_kernels(params), dev)
-        float(fwd(qp, x))
-        float(fwd(qp, x))
-        r8 = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fwd(qp, x)
-            float(out)
-            r8.append(batch * iters / (time.perf_counter() - t0))
-        int8_rate = sorted(r8)[1]
+        def time_params(p):
+            # same jitted fwd: jax.jit retraces per distinct params pytree
+            float(fwd(p, x))
+            float(fwd(p, x))
+            r8 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = fwd(p, x)
+                float(out)
+                r8.append(batch * iters / (time.perf_counter() - t0))
+            return sorted(r8)[1]
+
+        int8_rate = time_params(jax.device_put(quantize_conv_kernels(params), dev))
+
+        # Calibrated static activation scales: the fastest serving path
+        # (+31.7% over bf16 measured within-session, BENCH.md). Calibration
+        # is tiny here — 2 random images at 32x32 — because the stats are
+        # per-site scalars (resolution-independent) and the axon tunnel
+        # forces the calibration forward onto the host CPU (no io_callback
+        # support); the compiled serving program's SPEED is independent of
+        # the scale values, so small calibration keeps this honest & cheap.
+        calib = rng.random((2, 32, 32, 3), dtype=np.float32)
+        apply_like = lambda p, xx, train, dtype: fen.apply(p, xx, cfg, train=train, dtype=dtype)
+        qp_cal = jax.device_put(
+            calibrated_qparams(jax.tree.map(np.asarray, params), apply_like, calib, 2), dev)
+        int8_cal_rate = time_params(qp_cal)
 
     # Architecture-constrained roofline (BENCH.md): ~45 GFLOP/image, and the
     # 64-channel convs half-utilize the MXU's 128-wide output dimension,
@@ -108,6 +124,8 @@ def main() -> None:
         "vs_torch_cpu_host_measured": round(
             imgs_per_sec / TORCH_CPU_HOST_IMGS_PER_SEC, 1),
         "int8_full_imgs_per_sec": round(int8_rate, 2) if int8_rate else None,
+        "int8_calibrated_imgs_per_sec": round(int8_cal_rate, 2)
+        if int8_cal_rate else None,
         "reps_imgs_per_sec": [round(r, 1) for r in rates],
     }))
 

@@ -79,22 +79,34 @@ def _conv2d_int8(
     feature_group_count: int,
     dtype,
 ) -> jax.Array:
-    """s8 x s8 -> s32 conv with dynamic per-tensor activation quantization.
+    """s8 x s8 -> s32 conv with per-tensor activation quantization.
 
-    out = conv(round(x/a), q) * (a * w_scale) + b, a = max|x|/127 computed
-    on the fly (no calibration pass; the classic per-channel-weight /
+    out = conv(round(x/a), q) * (a * w_scale) + b. The scale `a` is either
+    static (w["a"], produced by `facesr.ops.quant.calibrate_act_scales` —
+    no reduction in the forward, so XLA fuses the quantize into the
+    producer's epilogue) or dynamic, a = max|x|/127 computed on the fly
+    (no calibration pass; the classic per-channel-weight /
     per-tensor-activation scheme). Output returns in x's float dtype."""
     if dtype is not None:
         x = x.astype(dtype)
     out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     xf = x.astype(jnp.float32)
-    # Per-IMAGE scales (not per-batch): each image's quantization grid must
-    # not depend on its batchmates (deterministic serving regardless of
-    # chunk composition), and the reduction stays shard-local under
-    # batch-sharded multi-chip serving (a whole-tensor max would insert an
-    # all-reduce before every conv).
-    a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
-    a = jnp.where(a == 0, 1.0, a)
+    if "a" in w:
+        # Calibrated static scale: [1,1,1,1] after scan slicing, broadcasts
+        # over NHWC. Out-of-range serving activations saturate at +-127 —
+        # the standard static-quantization trade, quality-gated in tests.
+        a = w["a"]
+    else:
+        # Per-IMAGE scales (not per-batch): each image's quantization grid
+        # must not depend on its batchmates (deterministic serving
+        # regardless of chunk composition), and the reduction stays
+        # shard-local under batch-sharded multi-chip serving (a
+        # whole-tensor max would insert an all-reduce before every conv).
+        a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
+        a = jnp.where(a == 0, 1.0, a)
+        from facesr.ops import quant as _quant
+
+        _quant.maybe_record_act_scale(w, a)
     xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]

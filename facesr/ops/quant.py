@@ -13,13 +13,16 @@ validation pending real weights).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+import contextlib
+from typing import Any, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_pytree", "dequantize_pytree", "quantize_conv_kernels",
-           "quantization_summary"]
+           "quantization_summary", "collecting_act_stats", "attach_act_scales",
+           "calibrate_act_scales"]
 
 # Leaves smaller than this stay f32: per-channel scales on tiny tensors
 # (PReLU alphas, biases, SE bottlenecks) cost accuracy for ~no footprint.
@@ -52,7 +55,7 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
             jax.tree.map(lambda p: p[1], pairs, is_leaf=lambda n: isinstance(n, tuple)))
 
 
-def quantize_conv_kernels(params: Any) -> Any:
+def quantize_conv_kernels(params: Any, with_sids: bool = False):
     """Full-int8 serving transform: conv kernel leaves become
     {"q": int8, "scale": f32} dicts that `facesr.ops.conv2d` dispatches to
     the s8xs8->s32 conv path (dynamic per-tensor activation scales computed
@@ -64,9 +67,15 @@ def quantize_conv_kernels(params: Any) -> Any:
     >= 4 dims (trailing [kh, kw, I, O]; scan-stacked kernels carry extra
     leading [G]/[G, B] axes) outside any `ca`/`fc*` path. Scales are per
     output channel with keepdims on the leading stack axes, so lax.scan
-    slices q and scale together."""
+    slices q and scale together.
+
+    With `with_sids=True`, each quant dict also carries an int32 "sid"
+    array (one unique id per conv *site*, i.e. per slice of the leading
+    stack axes) for the calibration pass, and the function returns
+    `(tree, n_sites)`. See `calibrate_act_scales`."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
+    n_sites = 0
     for path, leaf in flat:
         keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
         in_attention = any(k == "ca" or k.startswith("fc") for k in keys)
@@ -79,11 +88,112 @@ def quantize_conv_kernels(params: Any) -> Any:
         axes = tuple(range(leaf.ndim - 4, leaf.ndim - 1))  # kh, kw, I
         scale = jnp.max(jnp.abs(f), axis=axes, keepdims=True) / 127.0
         scale = jnp.where(scale == 0, 1.0, scale)
-        out.append({
+        q = {
             "q": jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8),
             "scale": scale,
-        })
-    return treedef.unflatten(out)
+        }
+        if with_sids:
+            stack_shape = leaf.shape[:leaf.ndim - 4]
+            cnt = int(np.prod(stack_shape, dtype=np.int64)) if stack_shape else 1
+            q["sid"] = jnp.asarray(
+                np.arange(n_sites, n_sites + cnt, dtype=np.int32).reshape(stack_shape)
+            )
+            n_sites += cnt
+        out.append(q)
+    tree = treedef.unflatten(out)
+    return (tree, n_sites) if with_sids else tree
+
+
+# ---------------------------------------------------------------------------
+# Activation-scale calibration (static scales for the full-int8 path)
+# ---------------------------------------------------------------------------
+#
+# The dynamic scheme computes max|x| before EVERY conv — a full HBM sweep
+# plus a sequential dependency that keeps XLA from fusing the quantize into
+# the previous conv's epilogue (measured ~half the non-conv time of the
+# int8_full step, BENCH.md). Calibration replaces it: run representative
+# images through the dynamic path once, record each conv site's observed
+# max via an io_callback keyed by "sid" (callbacks work under lax.scan, and
+# the sid disambiguates scan steps without relying on execution order),
+# then attach the collected scales as a static "a" leaf that rides the
+# params pytree exactly like q/scale do.
+
+_ACT_STATS: dict = {"arr": None}
+
+
+def _record_act_max(sid, amax) -> None:
+    arr = _ACT_STATS["arr"]
+    if arr is None:  # stale callback after the context closed — ignore
+        return
+    i = int(np.asarray(sid).reshape(()))
+    arr[i] = max(arr[i], float(np.asarray(amax).reshape(())))
+
+
+def maybe_record_act_scale(w: dict, a: jax.Array) -> None:
+    """Called by the int8 conv at trace time: inserts a stats callback when
+    a calibration context is open and the kernel dict carries a sid."""
+    if _ACT_STATS["arr"] is None or "sid" not in w:
+        return
+    from jax.experimental import io_callback
+
+    io_callback(_record_act_max, None, w["sid"], jnp.max(a), ordered=False)
+
+
+@contextlib.contextmanager
+def collecting_act_stats(n_sites: int):
+    """Open a calibration window: int8 convs with sids record their dynamic
+    per-image scale maxima into the yielded float64 array (max over all
+    forwards run inside the window)."""
+    if _ACT_STATS["arr"] is not None:
+        raise RuntimeError("nested activation-stats collection")
+    arr = np.zeros(n_sites, np.float64)
+    _ACT_STATS["arr"] = arr
+    try:
+        yield arr
+    finally:
+        _ACT_STATS["arr"] = None
+
+
+def attach_act_scales(qtree: Any, stats: np.ndarray, margin: float = 1.0) -> Any:
+    """Turn calibration stats into static "a" leaves (shape = stack axes +
+    [1,1,1,1] so scan slices them alongside q) and drop the sids. Sites the
+    calibration never exercised (stat 0) fall back to scale 1.0."""
+    def fix(node):
+        if not (isinstance(node, dict) and "sid" in node):
+            return node
+        sid = np.asarray(node["sid"])
+        a = stats[sid].astype(np.float32) * margin
+        a = np.where(a <= 0, 1.0, a).reshape(sid.shape + (1, 1, 1, 1))
+        out = {k: v for k, v in node.items() if k != "sid"}
+        out["a"] = jnp.asarray(a)
+        return out
+
+    return jax.tree.map(
+        fix, qtree,
+        is_leaf=lambda n: isinstance(n, dict) and "sid" in n,
+    )
+
+
+def calibrate_act_scales(params: Any, forward_fn, batches, margin: float = 1.0) -> Any:
+    """One-call calibration: quantize `params`' conv kernels, run
+    `forward_fn(qparams, batch)` over the calibration `batches` (an iterable
+    of image arrays) with dynamic quantization + stats recording, and return
+    the quantized tree with static activation scales attached.
+
+    `forward_fn` must route convs through `facesr.ops.conv2d` (all facesr
+    models do). It may be jitted — pass a FRESH jit: the recording callbacks
+    are baked into the trace, so a cached trace from before the window
+    opened would record nothing."""
+    qp, n_sites = quantize_conv_kernels(params, with_sids=True)
+    with collecting_act_stats(n_sites) as stats:
+        for batch in batches:
+            jax.block_until_ready(forward_fn(qp, jnp.asarray(batch)))
+    if not np.any(stats > 0):
+        raise RuntimeError(
+            "calibration recorded no activation statistics — did the "
+            "forward route through facesr.ops.conv2d with the quantized tree?"
+        )
+    return attach_act_scales(qp, stats, margin=margin)
 
 
 def dequantize_pytree(q_tree: Any, scale_tree: Any, dtype=jnp.bfloat16) -> Any:

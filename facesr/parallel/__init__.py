@@ -4,6 +4,7 @@ from facesr.parallel.mesh import (
     get_mesh,
     replicated,
     batch_sharding,
+    row_sharding,
     shard_batch,
     replicate,
     pad_to_multiple,
@@ -13,6 +14,7 @@ __all__ = [
     "get_mesh",
     "replicated",
     "batch_sharding",
+    "row_sharding",
     "shard_batch",
     "replicate",
     "pad_to_multiple",

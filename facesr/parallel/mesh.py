@@ -22,6 +22,7 @@ __all__ = [
     "get_mesh",
     "replicated",
     "batch_sharding",
+    "row_sharding",
     "shard_batch",
     "replicate",
     "pad_to_multiple",
@@ -48,6 +49,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def row_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard NHWC images along H: the spatial-parallel axis for
+    large-image / batch-1 serving (see serving.SpatialPredictor). The mesh
+    axis is the same physical `data` ring — what changes is which tensor
+    dimension rides it."""
+    return NamedSharding(mesh, P(None, axis))
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:

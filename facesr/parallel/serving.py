@@ -15,9 +15,157 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from facesr.parallel.mesh import get_mesh, replicate, batch_sharding, pad_to_multiple
+from facesr.parallel.mesh import (
+    get_mesh, replicate, batch_sharding, row_sharding, pad_to_multiple,
+)
 
-__all__ = ["ShardedPredictor"]
+__all__ = ["ShardedPredictor", "SpatialPredictor", "calibrated_qparams"]
+
+
+def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int):
+    """Quantize conv kernels and calibrate static activation scales by
+    running `calibration` images through `apply_fn` (see
+    facesr.ops.quant.calibrate_act_scales).
+
+    The stats collection uses io_callback, which some PJRT plugins (the
+    axon dev tunnel) don't support — those fall back to running the
+    calibration forward on the host CPU backend (one-time cost; the
+    collected scales are platform-independent)."""
+    from facesr.ops.quant import calibrate_act_scales
+
+    calib = np.asarray(calibration, np.float32)
+    n = min(max_batch, len(calib))
+    chunks = []
+    for i in range(0, len(calib), n):
+        c = calib[i:i + n]
+        if len(c) < n:
+            c = np.concatenate([c, np.repeat(c[-1:], n - len(c), axis=0)], axis=0)
+        chunks.append(c)
+
+    # Fresh jit per call: the stats callbacks are baked into the trace, so
+    # a trace cached from outside a collection window would record nothing.
+    def fwd(p, x):
+        return apply_fn(p, x, train=False, dtype=jnp.bfloat16)
+
+    if _callbacks_supported():
+        return calibrate_act_scales(params, jax.jit(fwd), chunks)
+    cpu = jax.devices("cpu")[0]
+    params_cpu = jax.device_put(params, cpu)
+    with jax.default_device(cpu):
+        return calibrate_act_scales(params_cpu, jax.jit(fwd), chunks)
+
+
+class SpatialPredictor:
+    """Spatial-parallel SR: shard the IMAGE ROWS across the mesh instead of
+    the batch — the model-parallel axis for latency-bound batch-1 serving
+    and for inputs too large for one chip's HBM, where batch parallelism
+    has nothing to shard (the reference is single-GPU and simply cannot
+    serve such inputs — SURVEY.md §5).
+
+    TPU-native mechanics: the input carries a NamedSharding of P(None,
+    "data") on H and the forward is jitted over the mesh — XLA's SPMD
+    partitioner derives everything else from that annotation: halo
+    exchanges for the 3x3 convs at shard boundaries, all-reduces for the
+    SE global pools, and (all-)gathers for the bicubic-skip row
+    contraction, all riding ICI. No hand-written ppermute — the "annotate
+    shardings, let XLA insert collectives" recipe. Numerically equivalent
+    to the single-device forward (tests/test_parallel.py gates it).
+
+    Compiles per input shape (large-image serving is shape-diverse; no
+    padding/chunking games like ShardedPredictor's batch path). When H is
+    not divisible by the mesh size, the call runs on the largest device
+    count that divides H — exactness is never traded for parallelism
+    (padding rows would perturb the conv outputs inside the receptive
+    field of the seam).
+
+    Args mirror ShardedPredictor; dtype supports the same serving
+    precisions. Note int8_full's *dynamic* activation scales would insert
+    an all-reduce-max before every conv under row sharding — pass
+    `calibration` images so the scales are static (recommended for the
+    quantized spatial path).
+    """
+
+    def __init__(self, model, mesh=None, dtype=jnp.bfloat16,
+                 calibration: Optional[np.ndarray] = None):
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        apply_fn = model.apply_fn
+
+        if dtype == "int8":
+            from facesr.ops.quant import quantize_pytree, dequantize_pytree
+
+            q_tree, s_tree = quantize_pytree(model.params)
+            self._host_params = {"q": q_tree, "s": s_tree}
+
+            def forward(params, x):
+                deq = dequantize_pytree(params["q"], params["s"], jnp.bfloat16)
+                return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
+                                0.0, 1.0)
+        elif dtype == "int8_full":
+            from facesr.ops.quant import quantize_conv_kernels
+
+            if calibration is not None:
+                self._host_params = calibrated_qparams(
+                    model.params, apply_fn, calibration, 8)
+            else:
+                self._host_params = quantize_conv_kernels(model.params)
+
+            def forward(params, x):
+                return jnp.clip(apply_fn(params, x, train=False, dtype=jnp.bfloat16),
+                                0.0, 1.0)
+        else:
+            self._host_params = model.params
+
+            def forward(params, x):
+                return jnp.clip(apply_fn(params, x, train=False, dtype=dtype),
+                                0.0, 1.0)
+
+        self._forward = forward
+        self._by_n: dict = {}  # n_devices_used -> (jitted fwd, params, sharding)
+
+    def _plan(self, h: int):
+        n = self.n_devices
+        while h % n:
+            n -= 1
+        if n not in self._by_n:
+            from facesr.parallel.mesh import replicated
+
+            sub = get_mesh(self.mesh.devices.flatten()[:n])
+            sh = row_sharding(sub)
+            fwd = jax.jit(self._forward,
+                          in_shardings=(replicated(sub), sh),
+                          out_shardings=sh)
+            self._by_n[n] = (fwd, replicate(self._host_params, sub), sh)
+        return self._by_n[n]
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """NHWC float batch (usually N=1) -> SR batch, rows sharded over
+        the mesh (or the largest H-dividing subset of it)."""
+        images = np.asarray(images, np.float32)
+        fwd, params, sh = self._plan(images.shape[1])
+        x = jax.device_put(images, sh)
+        return np.asarray(fwd(params, x))
+
+
+_CALLBACKS_SUPPORTED: Optional[bool] = None
+
+
+def _callbacks_supported() -> bool:
+    """Probe io_callback support on the default backend with a trivial
+    program (the axon dev tunnel rejects host callbacks at RUN time, after
+    the full model would already have compiled — so probe cheaply first)."""
+    global _CALLBACKS_SUPPORTED
+    if _CALLBACKS_SUPPORTED is None:
+        from jax.experimental import io_callback
+
+        try:
+            jax.block_until_ready(jax.jit(
+                lambda x: io_callback(lambda v: np.asarray(v), jax.ShapeDtypeStruct((), np.float32), x)
+            )(jnp.asarray(0.0, jnp.float32)))
+            _CALLBACKS_SUPPORTED = True
+        except Exception:
+            _CALLBACKS_SUPPORTED = False
+    return _CALLBACKS_SUPPORTED
 
 
 class ShardedPredictor:
@@ -34,9 +182,15 @@ class ShardedPredictor:
             documented in BENCH.md).
         max_batch: compiled batch size; larger inputs are chunked, smaller
             padded (one compiled program total).
+        calibration: optional NHWC float array of representative LR images
+            (int8_full only). When given, a one-time calibration pass
+            records each conv site's activation range and serving uses
+            static scales — removes the per-conv abs-max reduction from the
+            hot path (the dominant non-conv cost of int8_full, BENCH.md).
     """
 
-    def __init__(self, model, mesh=None, dtype=jnp.bfloat16, max_batch: int = 128):
+    def __init__(self, model, mesh=None, dtype=jnp.bfloat16, max_batch: int = 128,
+                 calibration: Optional[np.ndarray] = None):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.max_batch = max(max_batch - max_batch % self.n_devices, self.n_devices)
@@ -57,9 +211,14 @@ class ShardedPredictor:
             # Weights AND activations int8: convs run on the MXU's s8 pipe
             # (2x the bf16 conv rate on v5e — BENCH.md); elementwise tail
             # stays bf16. Larger quality delta than weight-only "int8".
-            from facesr.ops.quant import quantize_conv_kernels
+            from facesr.ops.quant import calibrate_act_scales, quantize_conv_kernels
 
-            self.params = replicate(quantize_conv_kernels(model.params), self.mesh)
+            if calibration is not None:
+                qp = calibrated_qparams(
+                    model.params, apply_fn, calibration, self.max_batch)
+            else:
+                qp = quantize_conv_kernels(model.params)
+            self.params = replicate(qp, self.mesh)
 
             def forward(params, x):
                 return jnp.clip(apply_fn(params, x, train=False, dtype=jnp.bfloat16),

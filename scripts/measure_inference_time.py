@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="full-int8 serving path (s8 MXU convs with "
                              "per-image activation scales — BENCH.md)")
+    parser.add_argument("--calibrate", type=int, default=0, metavar="N",
+                        help="with --int8: calibrate static activation "
+                             "scales on N random images (removes the "
+                             "per-conv abs-max reduction from the hot path)")
     parser.add_argument("--profile", type=str, default=None,
                         help="Write a jax.profiler trace to this directory")
     parser.add_argument("--platform", type=str, default=None,
@@ -61,7 +65,17 @@ def main():
         params = fen.init(jax.random.PRNGKey(0), cfg)
 
     dtype = jnp.bfloat16 if (args.bf16 or args.int8) else None
-    if args.int8:
+    if args.int8 and args.calibrate > 0:
+        from facesr.parallel.serving import calibrated_qparams
+
+        calib = np.random.default_rng(1).random(
+            (args.calibrate, args.input_size, args.input_size, 3), dtype=np.float32)
+        params = jax.device_put(
+            calibrated_qparams(
+                params, lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype),
+                calib, max(args.batch_size, 1)),
+            jax.devices()[0])
+    elif args.int8:
         from facesr.ops.quant import quantize_conv_kernels
 
         params = quantize_conv_kernels(params)
@@ -74,7 +88,8 @@ def main():
     print(f"Device: {dev.platform} | model {cfg.num_groups}x{cfg.blocks_per_group}"
           f"x{cfg.num_channels} | batch {args.batch_size} | "
           f"input {args.input_size}x{args.input_size} | "
-          f"{'int8_full' if args.int8 else 'bf16' if args.bf16 else 'f32'}")
+          f"{'int8_full' + ('/calibrated' if args.calibrate else '')
+             if args.int8 else 'bf16' if args.bf16 else 'f32'}")
 
     for _ in range(args.warmup):
         float(fwd(params, x))

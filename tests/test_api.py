@@ -74,6 +74,41 @@ def test_error_paths(server):
     assert status == 404
 
 
+def test_api_int8_full_calibrated_serving(tmp_path):
+    # --dtype int8_full --calib-dir calibrates static activation scales from
+    # images on disk, then serves through the s8 conv path.
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(calib_dir / f"c{i}.png"), img)
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    save_model(str(ckpt_dir / "best_model.fckpt"), model.params, cfg, "custom")
+
+    from app.api import serve
+
+    srv = serve(str(ckpt_dir), port=0, host="127.0.0.1", dtype="int8_full",
+                calib_dir=str(calib_dir))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        status, ctype, data = _request(port, "POST", "/super-resolve",
+                                       body=png.tobytes())
+        assert status == 200 and ctype == "image/png"
+        sr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        assert sr.shape == (256, 256, 3)
+    finally:
+        srv.shutdown()
+
+
 def test_api_int8_serving(tmp_path):
     # --dtype int8 routes through the weight-quantized ShardedPredictor.
     ckpt_dir = tmp_path / "ckpt"

@@ -165,3 +165,124 @@ def test_int8_full_quantized_serving():
                              jnp.asarray(ref, jnp.float32)))
     assert psnr > 30.0, psnr
     assert ssim_val > 0.95, ssim_val
+
+
+def test_int8_calibrated_serving():
+    """Calibrated static activation scales: every quantized conv must end
+    up with an "a" leaf (and no leftover "sid"), the serving forward must
+    stay within the same quality gate as the dynamic path, and outputs must
+    track the dynamic path closely (same grid up to the static-vs-per-image
+    scale difference)."""
+    from facesr.parallel.serving import ShardedPredictor
+    from facesr.losses.ssim import ssim as ssim_fn
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+
+    rng = np.random.default_rng(6)
+    x = rng.random((8, 16, 16, 3), dtype=np.float32)
+    calib = rng.random((12, 16, 16, 3), dtype=np.float32)
+
+    pred = ShardedPredictor(model, dtype="int8_full", max_batch=8, calibration=calib)
+    qdicts = [
+        l for l in jax.tree.leaves(
+            pred.params, is_leaf=lambda n: isinstance(n, dict) and "q" in n)
+        if isinstance(l, dict)
+    ]
+    assert qdicts and all("a" in d and "sid" not in d for d in qdicts)
+    # static scales slice through the nested group/block scans
+    assert pred.params["groups"]["rcab"]["conv1_w"]["a"].shape == (2, 2, 1, 1, 1, 1)
+
+    ref = ShardedPredictor(model, dtype=None, max_batch=8)(x)
+    dyn = ShardedPredictor(model, dtype="int8_full", max_batch=8)(x)
+    got = pred(x)
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    assert psnr(got, ref) > 30.0, psnr(got, ref)
+    assert float(ssim_fn(jnp.asarray(got, jnp.float32),
+                         jnp.asarray(ref, jnp.float32))) > 0.95
+    assert psnr(got, dyn) > 28.0, psnr(got, dyn)
+
+
+def test_spatial_predictor_matches_single_device():
+    """Spatial parallelism (rows of ONE image sharded over 8 devices) must
+    reproduce the unsharded forward — XLA SPMD's halo exchange for the 3x3
+    convs, the SE global-pool all-reduce, and the bicubic row contraction
+    must all be semantics-preserving."""
+    from facesr.parallel.serving import SpatialPredictor
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((64, 48), (52, 40)):  # even and UNEVEN row splits over 8
+        x = rng.random((1, h, w, 3), dtype=np.float32)
+        want = np.clip(np.asarray(model(jnp.asarray(x))), 0.0, 1.0)
+        got = SpatialPredictor(model, dtype=None)(x)
+        assert got.shape == (1, 4 * h, 4 * w, 3)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_spatial_predictor_int8_calibrated():
+    """Quantized spatial serving: static calibrated scales keep the s8 conv
+    path free of per-conv cross-shard reductions; output must match the
+    batch-sharded int8 path on the same image."""
+    from facesr.parallel.serving import ShardedPredictor, SpatialPredictor
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+    rng = np.random.default_rng(8)
+    calib = rng.random((4, 16, 16, 3), dtype=np.float32)
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+
+    want = ShardedPredictor(model, dtype="int8_full", max_batch=8,
+                            calibration=calib)(x)
+    got = SpatialPredictor(model, dtype="int8_full", calibration=calib)(x)
+    np.testing.assert_allclose(got, want, atol=2e-2)  # bf16 tail, same grid
+
+
+def test_calibration_stats_and_attach():
+    """Unit-level calibration contract: sids enumerate sites, stats collect
+    positive maxima for every site the forward touches, attach reshapes for
+    scan, and uncovered sites fall back to scale 1.0."""
+    from facesr.ops import quant
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    qp, n_sites = quant.quantize_conv_kernels(params, with_sids=True)
+    sids = np.concatenate([
+        np.asarray(d["sid"]).ravel()
+        for d in jax.tree.leaves(qp, is_leaf=lambda n: isinstance(n, dict) and "q" in n)
+        if isinstance(d, dict)
+    ])
+    assert sorted(sids.tolist()) == list(range(n_sites))
+
+    fwd = jax.jit(lambda p, x: fen.apply(p, x, cfg, train=False, dtype=jnp.bfloat16))
+    x = np.random.default_rng(0).random((2, 16, 16, 3), dtype=np.float32)
+    with quant.collecting_act_stats(n_sites) as stats:
+        jax.block_until_ready(fwd(qp, jnp.asarray(x)))
+    assert np.all(stats > 0), stats  # every conv site saw activations
+
+    # zero-stat sites must not divide by zero
+    stats2 = stats.copy()
+    stats2[0] = 0.0
+    tree = quant.attach_act_scales(qp, stats2)
+    leaf0 = [d for d in jax.tree.leaves(
+        tree, is_leaf=lambda n: isinstance(n, dict) and "q" in n)
+        if isinstance(d, dict) and np.asarray(d["a"]).min() == 1.0]
+    assert leaf0  # the sid-0 slice fell back to 1.0
