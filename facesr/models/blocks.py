@@ -207,9 +207,29 @@ def init_upsample(key: jax.Array, num_channels: int, scale_factor: int) -> list[
     return stages
 
 
-def upsample(stages: list[Params], x: jax.Array) -> jax.Array:
-    for sp in stages:
-        x = conv2d(x, sp["conv_w"], sp["conv_b"], padding=1)
-        x = pixel_shuffle(x, 2)
-        x = prelu(x, sp["prelu_a"])
+def upsample(stages: list[Params], x: jax.Array, next_w=None) -> jax.Array:
+    """Cascaded conv -> PixelShuffle(2) -> PReLU stages.
+
+    `next_w` is the kernel that will consume the result (conv_last). In
+    int8 serving with calibrated static scales, each stage applies the
+    PReLU in PACKED layout (alpha tiled 4x — the shuffle maps packed
+    channel c*4+dy*2+dx to channel c, facesr.ops.pixel_shuffle) and
+    quantizes to the CONSUMER's grid before the depth-to-space permutation.
+    Exactly equivalent (per-tensor quantize and per-channel PReLU commute
+    with the permutation) but the shuffle copy moves int8 instead of bf16
+    and the quantize sweep fuses into this conv's epilogue — the upsample
+    tail was the biggest non-trunk HBM cost in the serving trace (BENCH.md
+    round 2)."""
+    from facesr.ops.conv import quantize_act
+
+    for i, sp in enumerate(stages):
+        y = conv2d(x, sp["conv_w"], sp["conv_b"], padding=1)
+        nxt = stages[i + 1]["conv_w"] if i + 1 < len(stages) else next_w
+        if (isinstance(nxt, dict) and "a" in nxt
+                and jnp.issubdtype(y.dtype, jnp.floating)):
+            y = prelu(y, jnp.repeat(sp["prelu_a"], 4))
+            x = pixel_shuffle(quantize_act(y, nxt["a"]), 2)
+        else:
+            x = pixel_shuffle(y, 2)
+            x = prelu(x, sp["prelu_a"])
     return x

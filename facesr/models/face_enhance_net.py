@@ -115,7 +115,8 @@ def apply(
     feat = conv2d(feat, params["conv_after_body"]["w"], params["conv_after_body"]["b"], padding=pad)
     feat = feat + residual
 
-    feat = blocks.upsample(params["upsample"], feat)
+    feat = blocks.upsample(params["upsample"], feat,
+                           next_w=params["conv_last"]["w"])
     residual_out = conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"], padding=pad)
 
     out = residual_out.astype(jnp.float32) + skip

@@ -135,7 +135,7 @@ def apply(params: Params, x: jax.Array, cfg: TransferModelConfig = TransferModel
     feat, _ = lax.scan(rcab_fn, feat, hd["rcabs"])
     feat = conv2d(feat, hd["conv_after"]["w"], hd["conv_after"]["b"], padding=1)
     feat = feat + residual
-    feat = blocks_lib.upsample(hd["upsample"], feat)
+    feat = blocks_lib.upsample(hd["upsample"], feat, next_w=hd["conv_last"]["w"])
     out = conv2d(feat, hd["conv_last"]["w"], hd["conv_last"]["b"], padding=1)
     return out.astype(jnp.float32)
 

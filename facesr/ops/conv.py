@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv2d", "prelu", "leaky_relu", "global_avg_pool", "dense"]
+__all__ = ["conv2d", "quantize_act", "prelu", "leaky_relu", "global_avg_pool",
+           "dense"]
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -87,27 +88,40 @@ def _conv2d_int8(
     producer's epilogue) or dynamic, a = max|x|/127 computed on the fly
     (no calibration pass; the classic per-channel-weight /
     per-tensor-activation scheme). Output returns in x's float dtype."""
-    if dtype is not None:
-        x = x.astype(dtype)
-    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    xf = x.astype(jnp.float32)
-    if "a" in w:
-        # Calibrated static scale: [1,1,1,1] after scan slicing, broadcasts
-        # over NHWC. Out-of-range serving activations saturate at +-127 —
-        # the standard static-quantization trade, quality-gated in tests.
+    if x.dtype == jnp.int8:
+        # Pre-quantized input: the producer already applied THIS conv's
+        # static scale (blocks.upsample quantizes before the depth-to-space
+        # permutation so the shuffle copy moves int8 — 4x less HBM).
+        if "a" not in w:
+            raise ValueError("int8 conv input requires a static scale "
+                             "(calibrated kernel dict with 'a')")
         a = w["a"]
+        xq = x
+        out_dtype = dtype if dtype is not None else jnp.float32
     else:
-        # Per-IMAGE scales (not per-batch): each image's quantization grid
-        # must not depend on its batchmates (deterministic serving
-        # regardless of chunk composition), and the reduction stays
-        # shard-local under batch-sharded multi-chip serving (a
-        # whole-tensor max would insert an all-reduce before every conv).
-        a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
-        a = jnp.where(a == 0, 1.0, a)
-        from facesr.ops import quant as _quant
+        if dtype is not None:
+            x = x.astype(dtype)
+        out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        xf = x.astype(jnp.float32)
+        if "a" in w:
+            # Calibrated static scale: [1,1,1,1] after scan slicing,
+            # broadcasts over NHWC. Out-of-range serving activations
+            # saturate at +-127 — the standard static-quantization trade,
+            # quality-gated in tests.
+            a = w["a"]
+        else:
+            # Per-IMAGE scales (not per-batch): each image's quantization
+            # grid must not depend on its batchmates (deterministic serving
+            # regardless of chunk composition), and the reduction stays
+            # shard-local under batch-sharded multi-chip serving (a
+            # whole-tensor max would insert an all-reduce before every
+            # conv).
+            a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
+            a = jnp.where(a == 0, 1.0, a)
+            from facesr.ops import quant as _quant
 
-        _quant.maybe_record_act_scale(w, a)
-    xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+            _quant.maybe_record_act_scale(w, a)
+        xq = quantize_act(xf, a)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -125,6 +139,16 @@ def _conv2d_int8(
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(out_dtype)
+
+
+def quantize_act(x: jax.Array, a: jax.Array) -> jax.Array:
+    """Quantize activations to s8 with scale `a` (the int8 conv's input
+    grid): round(x/a) clipped to [-127, 127]. Exposed so producers can
+    quantize BEFORE a pure permutation (pixel shuffle) — per-tensor
+    quantization commutes with permutations, and moving it keeps the copy
+    in int8 and lets XLA fuse the sweep into the producer's epilogue."""
+    xf = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
 
 
 def prelu(x: jax.Array, alpha: jax.Array) -> jax.Array:

@@ -256,6 +256,23 @@ def test_spatial_predictor_int8_calibrated():
     np.testing.assert_allclose(got, want, atol=2e-2)  # bf16 tail, same grid
 
 
+def test_packed_quantize_commutes_with_pixel_shuffle():
+    """blocks.upsample's int8 reorder (PReLU with 4x-tiled alpha +
+    quantize BEFORE the depth-to-space permutation) must be exactly
+    equivalent to the reference order (shuffle, PReLU, quantize at the
+    consumer) — it exists purely to move the shuffle copy into int8."""
+    from facesr.ops.conv import quantize_act, prelu
+    from facesr.ops import pixel_shuffle
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    alpha = jnp.asarray(rng.random(4), jnp.float32)
+    a = jnp.asarray(0.017)
+    old = quantize_act(prelu(pixel_shuffle(y, 2), alpha), a)
+    new = pixel_shuffle(quantize_act(prelu(y, jnp.repeat(alpha, 4)), a), 2)
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
 def test_calibration_stats_and_attach():
     """Unit-level calibration contract: sids enumerate sites, stats collect
     positive maxima for every site the forward touches, attach reshapes for
