@@ -42,16 +42,20 @@ def synthesize_lr_batched(hr_uint8_list: Sequence[np.ndarray], scale: int,
     return out  # type: ignore[return-value]
 
 
-def make_predictor(model, max_batch: Optional[int] = None, dtype=None):
+def make_predictor(model, max_batch: Optional[int] = None, dtype=None,
+                   calibration=None):
     """ShardedPredictor with eval-CLI defaults; build ONCE per model and
-    reuse across chunks (each construction compiles a program)."""
+    reuse across chunks (each construction compiles a program).
+    `calibration` (int8_full only): LR images for static activation
+    scales — the production-recommended quantized serving mode."""
     import jax
     from facesr.parallel.serving import ShardedPredictor
 
     if max_batch is None:
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         max_batch = 128 if on_tpu else 8
-    return ShardedPredictor(model, dtype=dtype, max_batch=max_batch)
+    return ShardedPredictor(model, dtype=dtype, max_batch=max_batch,
+                            calibration=calibration)
 
 
 def sr_batched(

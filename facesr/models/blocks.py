@@ -207,7 +207,8 @@ def init_upsample(key: jax.Array, num_channels: int, scale_factor: int) -> list[
     return stages
 
 
-def upsample(stages: list[Params], x: jax.Array, next_w=None) -> jax.Array:
+def upsample(stages: list[Params], x: jax.Array, next_w=None,
+             keep_last_packed: bool = False) -> jax.Array:
     """Cascaded conv -> PixelShuffle(2) -> PReLU stages.
 
     `next_w` is the kernel that will consume the result (conv_last). In
@@ -219,7 +220,14 @@ def upsample(stages: list[Params], x: jax.Array, next_w=None) -> jax.Array:
     with the permutation) but the shuffle copy moves int8 instead of bf16
     and the quantize sweep fuses into this conv's epilogue — the upsample
     tail was the biggest non-trunk HBM cost in the serving trace (BENCH.md
-    round 2)."""
+    round 2).
+
+    With `keep_last_packed=True` (int8 path only) the FINAL depth-to-space
+    is skipped entirely and the s8 tensor is returned in packed layout —
+    the caller consumes it with a subpixel-packed conv_last
+    (facesr.ops.pixel_shuffle.subpixel_pack_kernel) and shuffles the
+    3-channel result instead, eliminating the full-size feature-map
+    transpose copies (~17% of the serving step in the round-2 trace)."""
     from facesr.ops.conv import quantize_act
 
     for i, sp in enumerate(stages):
@@ -228,7 +236,10 @@ def upsample(stages: list[Params], x: jax.Array, next_w=None) -> jax.Array:
         if (isinstance(nxt, dict) and "a" in nxt
                 and jnp.issubdtype(y.dtype, jnp.floating)):
             y = prelu(y, jnp.repeat(sp["prelu_a"], 4))
-            x = pixel_shuffle(quantize_act(y, nxt["a"]), 2)
+            y = quantize_act(y, nxt["a"])
+            if keep_last_packed and i + 1 == len(stages):
+                return y  # packed s8 [N, H, W, 4C]
+            x = pixel_shuffle(y, 2)
         else:
             x = pixel_shuffle(y, 2)
             x = prelu(x, sp["prelu_a"])

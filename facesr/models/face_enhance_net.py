@@ -115,9 +115,28 @@ def apply(
     feat = conv2d(feat, params["conv_after_body"]["w"], params["conv_after_body"]["b"], padding=pad)
     feat = feat + residual
 
-    feat = blocks.upsample(params["upsample"], feat,
-                           next_w=params["conv_last"]["w"])
-    residual_out = conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"], padding=pad)
+    w_last = params["conv_last"]["w"]
+    b_last = params["conv_last"]["b"]
+    # int8 serving with calibrated static scales: consume the upsample
+    # output in PACKED layout with a subpixel-repacked conv_last —
+    # bit-identical (integer accumulation commutes) but skips the
+    # depth-to-space transpose copies of the full-size s8 feature map; the
+    # shuffle runs on the 12-channel conv output instead (BENCH.md).
+    use_subpixel = (isinstance(w_last, dict) and "a" in w_last
+                    and cfg.kernel_size == 3 and cfg.scale_factor in (2, 4))
+    feat = blocks.upsample(params["upsample"], feat, next_w=w_last,
+                           keep_last_packed=use_subpixel)
+    if use_subpixel and feat.dtype == jnp.int8:
+        from facesr.ops import pixel_shuffle
+        from facesr.ops.pixel_shuffle import subpixel_pack_kernel
+
+        w_packed = {"q": subpixel_pack_kernel(w_last["q"]),
+                    "scale": jnp.repeat(w_last["scale"], 4, axis=-1),
+                    "a": w_last["a"]}
+        residual_out = pixel_shuffle(
+            conv2d(feat, w_packed, jnp.repeat(b_last, 4), padding=1), 2)
+    else:
+        residual_out = conv2d(feat, w_last, b_last, padding=pad)
 
     out = residual_out.astype(jnp.float32) + skip
     if not train:

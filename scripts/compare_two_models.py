@@ -95,6 +95,11 @@ def main():
                              "(default f32 = metric-identical to --per-image; "
                              "use int8/int8_full to measure the quantized "
                              "paths' quality against the baselines)")
+    parser.add_argument("--calibrate", type=int, default=0, metavar="N",
+                        help="with --serve-dtype int8_full: calibrate static "
+                             "activation scales on LR synthesized from the "
+                             "first N eval images (the production-recommended "
+                             "quantized mode; measures ITS quality)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu)")
     args = parser.parse_args()
@@ -160,8 +165,22 @@ def main():
                 import jax.numpy as _jnp
 
                 sd = _jnp.bfloat16 if args.serve_dtype == "bf16" else sd
+                calibration = None
+                if args.calibrate > 0 and args.serve_dtype == "int8_full":
+                    # calibrate on LR synthesized from the first N eval
+                    # images — the same distribution the predictor serves
+                    calib_hrs = [cv2.cvtColor(cv2.imread(str(f)),
+                                              cv2.COLOR_BGR2RGB)
+                                 for f in files[:args.calibrate]]
+                    calib_lrs = synthesize_lr_batched(calib_hrs, args.scale)
+                    # one batch => uniform shapes (mixed-size eval sets
+                    # calibrate on the first image's shape)
+                    calibration = np.stack(
+                        [l for l in calib_lrs
+                         if l.shape == calib_lrs[0].shape])
                 predictors = {name: make_predictor(m, max_batch=args.batch_size,
-                                                   dtype=sd)
+                                                   dtype=sd,
+                                                   calibration=calibration)
                               for name, m in models.items()}
             lrs = synthesize_lr_batched(hrs, args.scale)
             model_srs = {name: sr_batched(m, lrs, predictor=predictors[name])

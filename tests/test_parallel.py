@@ -273,6 +273,35 @@ def test_packed_quantize_commutes_with_pixel_shuffle():
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+def test_subpixel_pack_kernel_identity():
+    """conv3x3(PS(x)) == PS(conv3x3_packed(x)) — float to tolerance, int8
+    quant-dict path BIT-EXACT (integer accumulation commutes). This is the
+    identity behind the int8 serving path's packed conv_last."""
+    from facesr.ops import pixel_shuffle
+    from facesr.ops.pixel_shuffle import subpixel_pack_kernel
+    from facesr.ops.conv import conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 7)), jnp.float32)
+    want = conv2d(pixel_shuffle(x, 2), k, padding=1)
+    got = pixel_shuffle(conv2d(x, subpixel_pack_kernel(k), padding=1), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    q = jnp.asarray(rng.integers(-127, 128, (3, 3, 4, 7)), jnp.int8)
+    scale = jnp.asarray(rng.random((1, 1, 1, 7)) * 0.02 + 0.01, jnp.float32)
+    a = jnp.asarray(0.013, jnp.float32).reshape(1, 1, 1, 1)
+    xq = jnp.asarray(rng.integers(-127, 128, (2, 6, 5, 16)), jnp.int8)
+    b = jnp.asarray(rng.standard_normal(7), jnp.float32)
+    w = {"q": q, "scale": scale, "a": a}
+    wp = {"q": subpixel_pack_kernel(q),
+          "scale": jnp.repeat(scale, 4, axis=-1), "a": a}
+    want = conv2d(pixel_shuffle(xq, 2), w, b, padding=1, dtype=jnp.bfloat16)
+    got = pixel_shuffle(
+        conv2d(xq, wp, jnp.repeat(b, 4), padding=1, dtype=jnp.bfloat16), 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_calibration_stats_and_attach():
     """Unit-level calibration contract: sids enumerate sites, stats collect
     positive maxima for every site the forward touches, attach reshapes for
