@@ -135,8 +135,23 @@ def apply(params: Params, x: jax.Array, cfg: TransferModelConfig = TransferModel
     feat, _ = lax.scan(rcab_fn, feat, hd["rcabs"])
     feat = conv2d(feat, hd["conv_after"]["w"], hd["conv_after"]["b"], padding=1)
     feat = feat + residual
-    feat = blocks_lib.upsample(hd["upsample"], feat, next_w=hd["conv_last"]["w"])
-    out = conv2d(feat, hd["conv_last"]["w"], hd["conv_last"]["b"], padding=1)
+    w_last, b_last = hd["conv_last"]["w"], hd["conv_last"]["b"]
+    # int8 serving: consume the packed upsample output with the
+    # subpixel-repacked conv_last (bit-exact; see face_enhance_net.apply).
+    use_subpixel = isinstance(w_last, dict) and "a" in w_last
+    feat = blocks_lib.upsample(hd["upsample"], feat, next_w=w_last,
+                               keep_last_packed=use_subpixel)
+    if use_subpixel and feat.dtype == jnp.int8:
+        from facesr.ops import pixel_shuffle
+        from facesr.ops.pixel_shuffle import subpixel_pack_kernel
+
+        w_packed = {"q": subpixel_pack_kernel(w_last["q"]),
+                    "scale": jnp.repeat(w_last["scale"], 4, axis=-1),
+                    "a": w_last["a"]}
+        out = pixel_shuffle(
+            conv2d(feat, w_packed, jnp.repeat(b_last, 4), padding=1), 2)
+    else:
+        out = conv2d(feat, w_last, b_last, padding=1)
     return out.astype(jnp.float32)
 
 

@@ -273,6 +273,48 @@ def test_packed_quantize_commutes_with_pixel_shuffle():
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+def test_int8_calibrated_serving_other_model_families():
+    """The quant machinery is generic by leaf layout: RRDBNet (nearest-up,
+    LeakyReLU — no PixelShuffle) and TransferSRModel (RRDB backbone + RCAB
+    head + subpixel conv_last) must both serve int8_full with calibration
+    within a quality gate of their f32 outputs."""
+    from facesr.models.esrgan import RRDBNet, RRDBNetConfig
+    from facesr.models.transfer import TransferSRModel, TransferModelConfig
+    from facesr.parallel.serving import ShardedPredictor
+
+    rng = np.random.default_rng(3)
+    x = rng.random((8, 12, 12, 3), dtype=np.float32)
+    calib = rng.random((4, 12, 12, 3), dtype=np.float32)
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    rrdb = RRDBNet(RRDBNetConfig(num_feat=16, num_blocks=2, num_grow_ch=8))
+    ref = ShardedPredictor(rrdb, dtype=None, max_batch=8)(x)
+    got = ShardedPredictor(rrdb, dtype="int8_full", max_batch=8,
+                           calibration=calib)(x)
+    assert got.shape == ref.shape
+    assert psnr(got, ref) > 30.0, psnr(got, ref)
+
+    # The transfer model has no zero-init conv_last + bicubic anchor, so
+    # RANDOM weights quantize much worse in absolute terms (dynamic int8
+    # itself is ~25 dB vs f32 here); the contract tested is that the
+    # calibrated path matches the dynamic path's quality — i.e. the static
+    # scales + subpixel conv_last machinery generalizes, not that random
+    # nets quantize well.
+    tr = TransferSRModel(TransferModelConfig(backbone_blocks=2,
+                                             freeze_blocks=2, head_blocks=2,
+                                             head_channels=16))
+    ref = ShardedPredictor(tr, dtype=None, max_batch=8)(x)
+    dyn = ShardedPredictor(tr, dtype="int8_full", max_batch=8)(x)
+    got = ShardedPredictor(tr, dtype="int8_full", max_batch=8,
+                           calibration=calib)(x)
+    assert got.shape == ref.shape
+    assert psnr(got, ref) > psnr(dyn, ref) - 2.0, (psnr(got, ref), psnr(dyn, ref))
+    assert psnr(got, ref) > 20.0, psnr(got, ref)
+
+
 def test_subpixel_pack_kernel_identity():
     """conv3x3(PS(x)) == PS(conv3x3_packed(x)) — float to tolerance, int8
     quant-dict path BIT-EXACT (integer accumulation commutes). This is the
