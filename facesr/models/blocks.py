@@ -57,9 +57,16 @@ def init_channel_attention(key: jax.Array, num_channels: int, reduction_ratio: i
 
 def channel_attention(p: Params, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """SE gating. Returns (gated tensor, attention weights [N, C])."""
-    y = x.mean(axis=(1, 2))  # squeeze
+    from jax.ad_checkpoint import checkpoint_name
+
+    # Named so a remat policy can keep the TINY squeeze/gate tensors
+    # ([N, C] — a few MB across the whole trunk) and skip recomputing the
+    # global-mean reduce over the full feature map during the backward
+    # sweep (measured ~11% of the stage-1 step — BENCH.md round 2 trace).
+    y = checkpoint_name(x.mean(axis=(1, 2)), "ca_squeeze")
     y = jax.nn.relu(jnp.dot(y, p["fc1_w"].astype(y.dtype)))
-    y = jax.nn.sigmoid(jnp.dot(y, p["fc2_w"].astype(y.dtype)))
+    y = checkpoint_name(
+        jax.nn.sigmoid(jnp.dot(y, p["fc2_w"].astype(y.dtype))), "ca_gate")
     return x * y[:, None, None, :], y
 
 
@@ -163,6 +170,17 @@ def residual_groups(
 
     if remat == "rcab":
         rcab_body = jax.checkpoint(rcab_body)
+    elif remat == "save_ca":
+        # Like "rcab" but keeps the SE squeeze/gate ([N, C] — tiny): the
+        # backward replay skips the global-mean reduce over the full
+        # feature map, the most expensive non-conv op in the recompute
+        # (BENCH.md round-2 trace: ~11% of the stage-1 step).
+        rcab_body = jax.checkpoint(
+            rcab_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "ca_squeeze", "ca_gate"
+            ),
+        )
     elif remat == "save_convs":
         rcab_body = jax.checkpoint(
             rcab_body,

@@ -239,9 +239,15 @@ class ShardedPredictor:
         """NHWC float batch (any size) -> SR batch, chunked/padded to the
         compiled batch size (always max_batch, so the whole lifetime of the
         predictor uses ONE compiled program — padding only to a device
-        multiple would recompile for every distinct remainder size)."""
+        multiple would recompile for every distinct remainder size).
+
+        Chunks are software-pipelined (depth 2): dispatch is async under
+        JAX, so chunk i+1's upload + forward overlap chunk i's
+        device->host result transfer instead of serializing on it. Depth
+        is capped so at most two chunk outputs are live on device."""
         images = np.asarray(images, np.float32)
         outs = []
+        in_flight: list = []  # [(device result, valid_count)]
         for i in range(0, len(images), self.max_batch):
             chunk = images[i:i + self.max_batch]
             valid = len(chunk)
@@ -249,6 +255,10 @@ class ShardedPredictor:
                 filler = np.repeat(chunk[-1:], self.max_batch - valid, axis=0)
                 chunk = np.concatenate([chunk, filler], axis=0)
             x = jax.device_put(chunk, batch_sharding(self.mesh))
-            y = self._fwd(self.params, x)
-            outs.append(np.asarray(y[:valid]))
+            in_flight.append((self._fwd(self.params, x), valid))
+            if len(in_flight) > 2:
+                y, v = in_flight.pop(0)
+                outs.append(np.asarray(y[:v]))
+        for y, v in in_flight:
+            outs.append(np.asarray(y[:v]))
         return np.concatenate(outs, axis=0)

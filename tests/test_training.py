@@ -272,13 +272,13 @@ def test_gradient_monitor_off_by_default(tmp_path):
 
 def test_remat_modes_equivalent_gradients():
     # remat selects a schedule, not math: loss and grads must match across
-    # rcab / save_convs / none on the same params and batch.
+    # rcab / save_ca / save_convs / none on the same params and batch.
     import jax.numpy as jnp
     from facesr.training.steps import make_train_step, make_optimizer, set_learning_rate, TrainState
 
     hr = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), dtype=np.float32))
     results = {}
-    for mode in ("rcab", "save_convs", "none"):
+    for mode in ("rcab", "save_ca", "save_convs", "none"):
         cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
                                        blocks_per_group=2, remat=mode)
         params = fen.init(jax.random.PRNGKey(0), cfg)
@@ -295,7 +295,7 @@ def test_remat_modes_equivalent_gradients():
         results[mode] = (float(metrics["loss"]),
                          np.asarray(new_state.params["conv_first"]["w"]))
     base_loss, base_w = results["rcab"]
-    for mode in ("save_convs", "none"):
+    for mode in ("save_ca", "save_convs", "none"):
         loss, w = results[mode]
         assert abs(loss - base_loss) < 1e-6, (mode, loss, base_loss)
         np.testing.assert_allclose(w, base_w, atol=1e-6, rtol=1e-5, err_msg=mode)
