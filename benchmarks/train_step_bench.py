@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=96)
-    p.add_argument("--remat", default="rcab",
+    p.add_argument("--remat", default="save_ca",
                    choices=["rcab", "save_ca", "save_convs", "none"])
     p.add_argument("--vgg-remat", default="on", choices=["on", "off"])
     p.add_argument("--ssim-weight", type=float, default=0.0,
