@@ -67,7 +67,7 @@ class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
     def __init__(self, checkpoint_dir: str, dtype: str | None = None,
-                 calib_dir: str | None = None):
+                 calib_dir: str | None = None, quant_cache: str | None = None):
         """dtype: None/'f32' direct forwards; 'bf16'/'int8'/'int8_full'
         route through ShardedPredictor ('int8' = weight-only quantization,
         'int8_full' also quantizes activations onto the MXU's s8 pipe —
@@ -93,8 +93,10 @@ class SRService:
             jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
             n = len(jax.devices())
             self.predictors = {
-                name: ShardedPredictor(m, dtype=jdtype, max_batch=n,
-                                       calibration=calibration)
+                name: ShardedPredictor(
+                    m, dtype=jdtype, max_batch=n, calibration=calibration,
+                    quant_cache=(f"{quant_cache}.{name}.fckpt"
+                                 if quant_cache else None))
                 for name, m in self.models.items()
             }
 
@@ -194,8 +196,10 @@ def make_handler(service: SRService):
 
 
 def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0",
-          dtype: str | None = None, calib_dir: str | None = None):
-    service = SRService(checkpoint_dir, dtype=dtype, calib_dir=calib_dir)
+          dtype: str | None = None, calib_dir: str | None = None,
+          quant_cache: str | None = None):
+    service = SRService(checkpoint_dir, dtype=dtype, calib_dir=calib_dir,
+                        quant_cache=quant_cache)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"facesr API serving {list(service.models)} on {host}:{port}")
     return server
@@ -218,6 +222,9 @@ def main():
                         help="directory of representative LR images for "
                              "static activation-scale calibration "
                              "(int8_full only)")
+    parser.add_argument("--quant-cache", type=str, default=None,
+                        help="path prefix persisting calibrated int8 trees "
+                             "(per model) so restarts skip calibration")
     args = parser.parse_args()
 
     if args.platform:
@@ -226,7 +233,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype,
-                   calib_dir=args.calib_dir)
+                   calib_dir=args.calib_dir, quant_cache=args.quant_cache)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -9,6 +9,7 @@ batches are padded to a mesh multiple and trimmed after.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -22,7 +23,8 @@ from facesr.parallel.mesh import (
 __all__ = ["ShardedPredictor", "SpatialPredictor", "calibrated_qparams"]
 
 
-def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int):
+def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int,
+                       cache_path: Optional[str] = None):
     """Quantize conv kernels and calibrate static activation scales by
     running `calibration` images through `apply_fn` (see
     facesr.ops.quant.calibrate_act_scales).
@@ -30,8 +32,33 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
     The stats collection uses io_callback, which some PJRT plugins (the
     axon dev tunnel) don't support — those fall back to running the
     calibration forward on the host CPU backend (one-time cost; the
-    collected scales are platform-independent)."""
+    collected scales are platform-independent).
+
+    `cache_path`: persist/reuse the calibrated tree (msgpack via
+    facesr.ckpt). Calibration is a one-time offline cost (minutes on
+    callback-less platforms where it runs on the host CPU) that serving
+    startup should not repeat; a cached tree from a different
+    architecture fails structure restoration loudly."""
     from facesr.ops.quant import calibrate_act_scales
+
+    if cache_path and os.path.exists(cache_path):
+        from facesr.ckpt.checkpoint import load_checkpoint
+        from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
+
+        qp_sid, n_sites = quantize_conv_kernels(params, with_sids=True)
+        target = attach_act_scales(qp_sid, np.ones(n_sites))
+        tree, meta = load_checkpoint(cache_path, target=target)
+        if meta.get("kind") != "facesr-int8-calibrated":
+            raise ValueError(f"{cache_path} is not a calibrated-int8 cache")
+
+        def check(got, want):
+            if np.shape(got) != np.shape(want):
+                raise ValueError(
+                    f"quant cache {cache_path} does not match this model: "
+                    f"leaf shape {np.shape(got)} vs expected {np.shape(want)}")
+            return got
+
+        return jax.tree.map(check, tree, target)
 
     calib = np.asarray(calibration, np.float32)
     n = min(max_batch, len(calib))
@@ -48,11 +75,21 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
         return apply_fn(p, x, train=False, dtype=jnp.bfloat16)
 
     if _callbacks_supported():
-        return calibrate_act_scales(params, jax.jit(fwd), chunks)
-    cpu = jax.devices("cpu")[0]
-    params_cpu = jax.device_put(params, cpu)
-    with jax.default_device(cpu):
-        return calibrate_act_scales(params_cpu, jax.jit(fwd), chunks)
+        qp = calibrate_act_scales(params, jax.jit(fwd), chunks)
+    else:
+        cpu = jax.devices("cpu")[0]
+        params_cpu = jax.device_put(params, cpu)
+        with jax.default_device(cpu):
+            qp = calibrate_act_scales(params_cpu, jax.jit(fwd), chunks)
+    if cache_path:
+        from flax import serialization
+        from facesr.ckpt.checkpoint import save_checkpoint
+
+        # to_state_dict first: python lists (upsample stages) become
+        # indexed dicts, the format from_state_dict restores into targets
+        save_checkpoint(cache_path, serialization.to_state_dict(qp),
+                        {"kind": "facesr-int8-calibrated"})
+    return qp
 
 
 class SpatialPredictor:
@@ -86,7 +123,8 @@ class SpatialPredictor:
     """
 
     def __init__(self, model, mesh=None, dtype=jnp.bfloat16,
-                 calibration: Optional[np.ndarray] = None):
+                 calibration: Optional[np.ndarray] = None,
+                 quant_cache: Optional[str] = None):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         apply_fn = model.apply_fn
@@ -104,9 +142,11 @@ class SpatialPredictor:
         elif dtype == "int8_full":
             from facesr.ops.quant import quantize_conv_kernels
 
-            if calibration is not None:
+            if calibration is not None or (
+                    quant_cache and os.path.exists(quant_cache)):
                 self._host_params = calibrated_qparams(
-                    model.params, apply_fn, calibration, 8)
+                    model.params, apply_fn, calibration, 8,
+                    cache_path=quant_cache)
             else:
                 self._host_params = quantize_conv_kernels(model.params)
 
@@ -187,10 +227,14 @@ class ShardedPredictor:
             records each conv site's activation range and serving uses
             static scales — removes the per-conv abs-max reduction from the
             hot path (the dominant non-conv cost of int8_full, BENCH.md).
+        quant_cache: optional path persisting the calibrated tree so
+            serving restarts skip the calibration pass (see
+            calibrated_qparams).
     """
 
     def __init__(self, model, mesh=None, dtype=jnp.bfloat16, max_batch: int = 128,
-                 calibration: Optional[np.ndarray] = None):
+                 calibration: Optional[np.ndarray] = None,
+                 quant_cache: Optional[str] = None):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.max_batch = max(max_batch - max_batch % self.n_devices, self.n_devices)
@@ -213,9 +257,11 @@ class ShardedPredictor:
             # stays bf16. Larger quality delta than weight-only "int8".
             from facesr.ops.quant import calibrate_act_scales, quantize_conv_kernels
 
-            if calibration is not None:
+            if calibration is not None or (
+                    quant_cache and os.path.exists(quant_cache)):
                 qp = calibrated_qparams(
-                    model.params, apply_fn, calibration, self.max_batch)
+                    model.params, apply_fn, calibration, self.max_batch,
+                    cache_path=quant_cache)
             else:
                 qp = quantize_conv_kernels(model.params)
             self.params = replicate(qp, self.mesh)

@@ -315,6 +315,41 @@ def test_int8_calibrated_serving_other_model_families():
     assert psnr(got, ref) > 20.0, psnr(got, ref)
 
 
+def test_quant_cache_roundtrip(tmp_path):
+    """Calibrated trees persist: a second predictor built from the cache
+    (no calibration images) must produce IDENTICAL outputs; a cache from a
+    different architecture fails loudly."""
+    from facesr.parallel.serving import ShardedPredictor
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+    rng = np.random.default_rng(6)
+    x = rng.random((8, 16, 16, 3), dtype=np.float32)
+    calib = rng.random((4, 16, 16, 3), dtype=np.float32)
+    cache = str(tmp_path / "int8.fckpt")
+
+    first = ShardedPredictor(model, dtype="int8_full", max_batch=8,
+                             calibration=calib, quant_cache=cache)(x)
+    assert (tmp_path / "int8.fckpt").exists()
+    second = ShardedPredictor(model, dtype="int8_full", max_batch=8,
+                              quant_cache=cache)(x)  # no calibration images
+    np.testing.assert_array_equal(first, second)
+
+    other = fen.FaceEnhanceNet(
+        fen.FaceEnhanceNetConfig(num_channels=32, num_groups=1, blocks_per_group=1))
+    try:
+        ShardedPredictor(other, dtype="int8_full", max_batch=8, quant_cache=cache)
+        raise AssertionError("mismatched cache should not restore")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # loud structure/shape failure is the contract
+
+
 def test_subpixel_pack_kernel_identity():
     """conv3x3(PS(x)) == PS(conv3x3_packed(x)) — float to tolerance, int8
     quant-dict path BIT-EXACT (integer accumulation commutes). This is the
