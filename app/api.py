@@ -95,8 +95,9 @@ class SRService:
             self.predictors = {
                 name: ShardedPredictor(
                     m, dtype=jdtype, max_batch=n, calibration=calibration,
-                    quant_cache=(f"{quant_cache}.{name}.fckpt"
-                                 if quant_cache else None))
+                    quant_cache=(
+                        f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
+                        if quant_cache else None))
                 for name, m in self.models.items()
             }
 

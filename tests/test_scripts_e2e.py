@@ -197,6 +197,28 @@ def test_compare_cli_int8_serve_dtype(workdir):
          "--test-dir", str(workdir / "processed" / "test" / "HR"),
          "--output", str(workdir / "cmp_int8"),
          "--num-images", "2", "--platform", "cpu", "--save-every", "0",
-         "--serve-dtype", "int8_full"])
+         "--serve-dtype", "int8_full", "--calibrate", "2"])
     summary = (workdir / "cmp_int8" / "results_summary.txt").read_text()
     assert "Best Model" in summary
+
+
+def test_export_quantized_cli(workdir):
+    # train -> export calibrated int8 artifact -> serve from the cache
+    out = workdir / "ckpt" / "best.int8.fckpt"
+    stdout = run(["scripts/export_quantized.py",
+                  "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+                  "--calib-dir", str(workdir / "processed" / "val" / "HR"),
+                  "--calib-hr", "--num-images", "4",
+                  "--output", str(out), "--platform", "cpu"])
+    assert out.exists() and "Wrote calibrated int8 tree" in stdout
+
+    import jax
+    from facesr.models.load import load_any_model
+    from facesr.parallel.serving import ShardedPredictor
+
+    m = load_any_model(str(workdir / "ckpt" / "best_model.fckpt"))
+    pred = ShardedPredictor(m, dtype="int8_full", max_batch=8,
+                            quant_cache=str(out))
+    sr = pred(np.random.default_rng(0).random((2, 16, 16, 3), dtype=np.float32))
+    assert sr.shape == (2, 64, 64, 3)
+    assert np.isfinite(sr).all()
