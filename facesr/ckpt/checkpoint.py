@@ -135,10 +135,17 @@ def _restore_list_nodes(tree: Any) -> Any:
     return tree
 
 
-def load_model(path: str, model_type: str = "custom"):
-    """Load (config, params) from a model or trainer checkpoint."""
+def load_model(path: str, model_type: str = "custom", prefer_ema: bool = True):
+    """Load (config, params) from a model or trainer checkpoint.
+
+    `prefer_ema`: serve the EMA weights when the checkpoint carries them
+    (trainer runs with ema_decay > 0) — the standard SR-GAN convention
+    (RealESRGAN ships/serves `params_ema`); pass False for the raw
+    optimized weights."""
     tree, meta = load_checkpoint(path)
-    if "params" in tree:
+    if prefer_ema and tree.get("ema_params") is not None:
+        params = tree["ema_params"]
+    elif "params" in tree:
         params = tree["params"]
     elif "state" in tree and "params" in tree["state"]:
         params = tree["state"]["params"]

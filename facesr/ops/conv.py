@@ -37,6 +37,11 @@ def conv2d(
     kernels at stride 1.
     """
     if isinstance(w, dict):
+        if "fq" in w:
+            # QAT latent kernel {"fq": float HWIO}: differentiable fake
+            # quantization on the serving int8 grid (STE rounding).
+            return _conv2d_fakequant(x, w, b, stride, padding,
+                                     feature_group_count, dtype)
         # int8-quantized kernel {"q": int8 HWIO, "scale": f32 per-out-ch}:
         # the full-int8 serving path (weights AND activations on the MXU's
         # native s8 pipe — measured 2x the bf16 conv rate on v5e, BENCH.md).
@@ -139,6 +144,61 @@ def _conv2d_int8(
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(out_dtype)
+
+
+def _ste_round(v: jax.Array) -> jax.Array:
+    """round() with a straight-through gradient (d/dv == 1): the standard
+    QAT estimator — the quantizer's staircase has zero gradient almost
+    everywhere, so training treats it as identity."""
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+def _conv2d_fakequant(
+    x: jax.Array,
+    w: dict,
+    b: Optional[jax.Array],
+    stride: int,
+    padding,
+    feature_group_count: int,
+    dtype,
+) -> jax.Array:
+    """Differentiable mirror of `_conv2d_int8` for quantization-aware
+    training: out = conv(fq(x), fq(w)) + b where fq snaps values onto the
+    int8 serving grid (same per-output-channel weight scales, same
+    per-image dynamic activation scales, same round/clip) but keeps them
+    float, with straight-through gradients to the latent params.
+
+    Because the per-image scale `a` is constant over the contraction axes
+    and the per-channel scale `s` is constant per output, the float conv of
+    the snapped values equals the integer path's s32 accumulation * (a*s)
+    up to float rounding. The conv itself runs in the policy dtype (bf16
+    under training — QAT needs the quantization *grid*, not integer-exact
+    accumulation; pass dtype=None for the f32 parity path tests use).
+    Scales are stop_gradient'd (the standard abs-max STE scheme).
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+
+    wf = w["fq"].astype(jnp.float32)
+    s = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
+    )
+    s = jnp.where(s == 0, 1.0, s)
+    wq = jnp.clip(_ste_round(wf / s), -127, 127) * s
+
+    xf = x.astype(jnp.float32)
+    a = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
+    )
+    a = jnp.where(a == 0, 1.0, a)
+    xq = jnp.clip(_ste_round(xf / a), -127, 127) * a
+
+    return conv2d(
+        xq.astype(out_dtype), wq.astype(out_dtype), b,
+        stride=stride, padding=padding,
+        feature_group_count=feature_group_count, dtype=None,
+    )
 
 
 def quantize_act(x: jax.Array, a: jax.Array) -> jax.Array:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 __all__ = ["quantize_pytree", "dequantize_pytree", "quantize_conv_kernels",
            "quantization_summary", "collecting_act_stats", "attach_act_scales",
-           "calibrate_act_scales"]
+           "calibrate_act_scales", "fake_quant_params"]
 
 # Leaves smaller than this stay f32: per-channel scales on tiny tensors
 # (PReLU alphas, biases, SE bottlenecks) cost accuracy for ~no footprint.
@@ -31,6 +31,21 @@ MIN_QUANT_SIZE = 256
 
 def _quantizable(leaf: jax.Array) -> bool:
     return (leaf.ndim >= 2 and leaf.size >= MIN_QUANT_SIZE
+            and leaf.dtype in (jnp.float32, jnp.bfloat16))
+
+
+def _is_conv_kernel(path, leaf) -> bool:
+    """Shared site predicate for the int8 serving transform and the QAT
+    fake-quant transform — the two MUST select identical leaves so training
+    simulates exactly the kernels serving will quantize.
+
+    Conv kernels are float leaves with >= 4 dims (trailing [kh, kw, I, O];
+    scan-stacked kernels carry extra leading [G]/[G, B] axes) outside any
+    `ca`/`fc*` (channel-attention) path."""
+    keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+    if any(k == "ca" or k.startswith("fc") for k in keys):
+        return False
+    return (leaf.ndim >= 4 and leaf.size >= MIN_QUANT_SIZE
             and leaf.dtype in (jnp.float32, jnp.bfloat16))
 
 
@@ -77,11 +92,8 @@ def quantize_conv_kernels(params: Any, with_sids: bool = False):
     out = []
     n_sites = 0
     for path, leaf in flat:
-        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
-        in_attention = any(k == "ca" or k.startswith("fc") for k in keys)
         leaf = jnp.asarray(leaf)
-        if (in_attention or leaf.ndim < 4 or leaf.size < MIN_QUANT_SIZE
-                or leaf.dtype not in (jnp.float32, jnp.bfloat16)):
+        if not _is_conv_kernel(path, leaf):
             out.append(leaf)
             continue
         f = leaf.astype(jnp.float32)
@@ -102,6 +114,33 @@ def quantize_conv_kernels(params: Any, with_sids: bool = False):
         out.append(q)
     tree = treedef.unflatten(out)
     return (tree, n_sites) if with_sids else tree
+
+
+def fake_quant_params(params: Any) -> Any:
+    """QAT transform: wrap each conv-kernel leaf as a `{"fq": leaf}` dict
+    that `facesr.ops.conv2d` dispatches to the differentiable fake-quant
+    path (straight-through-estimator rounding on the EXACT int8 serving
+    grid: per-output-channel weight scales + per-image activation scales —
+    see `facesr.ops.conv._conv2d_fakequant`).
+
+    Site selection is shared with `quantize_conv_kernels`, so training
+    simulates precisely the kernels serving will quantize. The transform is
+    a pure pytree re-wrap — differentiable, jit-safe, and applied INSIDE the
+    loss on the latent float params, so the optimizer state, checkpoints and
+    converters all keep the plain float tree. Apply via
+    `TrainerConfig(qat=True)` or wrap any model_apply directly.
+
+    No reference equivalent (the reference never quantizes —
+    /root/reference/src has no QAT); this closes the loop on the int8
+    serving path so exported models keep their quality.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = [
+        {"fq": jnp.asarray(leaf)} if _is_conv_kernel(path, jnp.asarray(leaf))
+        else leaf
+        for path, leaf in flat
+    ]
+    return treedef.unflatten(out)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,18 @@ class TrainState:
     d_params: Any = None
     d_stats: Any = None
     d_opt_state: Any = None
+    # Exponential moving average of `params` (generator only). The standard
+    # SR-GAN serving trick (RealESRGAN ships `params_ema` — our converter
+    # already reads that container); the reference trainer itself has no
+    # EMA, so this is a TPU-framework extra, off unless ema_decay > 0.
+    ema_params: Any = None
+
+
+def _ema_update(ema: Any, params: Any, decay: float) -> Any:
+    """ema <- decay * ema + (1 - decay) * params, in the EMA's dtype."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
+    )
 
 
 def set_learning_rate(opt_state: Any, lr: float) -> Any:
@@ -119,6 +131,7 @@ def make_train_step(
     scale_factor: int = 4,
     compute_dtype=None,
     grad_norms: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Content-only (no GAN) train step: LR synth -> G fwd -> loss -> update."""
 
@@ -134,7 +147,10 @@ def make_train_step(
         (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = (_ema_update(state.ema_params, params, ema_decay)
+               if ema_decay > 0 else state.ema_params)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, ema_params=ema)
         metrics = dict(comps)
         metrics["loss"] = loss
         if grad_norms:
@@ -156,6 +172,7 @@ def make_gan_train_step(
     d_updates_per_g: int = 1,
     compute_dtype=None,
     grad_norms: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Adversarial step (reference trainer.py:423-505): d_updates_per_g
     discriminator updates on (hr, stop_grad(sr)), then one generator update
@@ -213,6 +230,8 @@ def make_gan_train_step(
         (grads,) = g_pullback(sr_bar)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = (_ema_update(state.ema_params, params, ema_decay)
+               if ema_decay > 0 else state.ema_params)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -221,6 +240,7 @@ def make_gan_train_step(
             d_params=d_params,
             d_stats=d_stats,
             d_opt_state=d_opt_state,
+            ema_params=ema,
         )
         metrics = dict(comps)
         metrics.update({
@@ -240,15 +260,19 @@ def make_eval_step(
     model_apply: Callable,
     loss_apply: Callable,
     scale_factor: int = 4,
+    use_ema: bool = False,
 ) -> Callable:
     """Validation step (reference trainer.py:552-598): eval-mode (clamped)
-    forward, combined loss, batch PSNR (10*log10(1/mse)) and SSIM."""
+    forward, combined loss, batch PSNR (10*log10(1/mse)) and SSIM.
+    `use_ema`: validate the EMA weights (what EMA-enabled runs serve), so
+    best-model selection and early stopping track the served model."""
     from facesr.losses.ssim import ssim as ssim_fn
 
     def eval_step(state: TrainState, hr: jax.Array):
         hr = hr.astype(jnp.float32)
         lr_img = bicubic_down(hr, scale_factor)
-        sr = model_apply(state.params, lr_img, train=False, dtype=None)
+        params = state.ema_params if use_ema else state.params
+        sr = model_apply(params, lr_img, train=False, dtype=None)
         loss, _ = loss_apply(state.loss_params, sr, hr)
         mse = jnp.mean((sr - hr) ** 2)
         psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))

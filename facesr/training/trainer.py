@@ -136,6 +136,19 @@ class TrainerConfig:
     # BENCH.md: +7% at batch 128 bf16) fits HBM up to batch ~128 per v5e
     # chip; set True for larger per-chip batches.
     vgg_remat: bool = False
+    # Quantization-aware training: run every conv through the int8 serving
+    # grid (fake-quantized weights + activations, straight-through
+    # gradients) so the exported int8 model keeps its quality. Validation
+    # also runs fake-quant, so val PSNR/early-stopping track the QUANTIZED
+    # model. Checkpoints keep the plain latent float params — quantize at
+    # export (scripts/export_quantized.py). See facesr.ops.quant.
+    qat: bool = False
+    # Exponential moving average of the generator weights (the standard
+    # SR-GAN serving trick — RealESRGAN ships params_ema; the reference
+    # trainer has none). 0 = off. When on, validation / best-checkpoint
+    # selection run on the EMA weights and `facesr.ckpt.load_model` serves
+    # them by default (prefer_ema). Typical: 0.999.
+    ema_decay: float = 0.0
 
 
 class EarlyStopping:
@@ -213,6 +226,12 @@ class Trainer:
         else:
             self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
         self.model_type = getattr(model, "model_type", "custom")
+        if self.config.qat:
+            from facesr.ops.quant import fake_quant_params
+
+            _base_apply = self._model_apply
+            self._model_apply = lambda p, x, train, dtype: _base_apply(
+                fake_quant_params(p), x, train=train, dtype=dtype)
         self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
         # The mixed-precision policy extends to the loss's VGG sweep (its
         # 256^2 convs are the single most expensive part of the stage-1
@@ -264,6 +283,12 @@ class Trainer:
             d_opt_state = self.tx_d.init(d_params)
             d_opt_state = set_learning_rate(d_opt_state, self.config.d_learning_rate)
 
+        self.use_ema = self.config.ema_decay > 0
+        # jnp.array (copy) — NOT asarray: the EMA must not alias the params
+        # buffers (the jitted step donates the whole state, and donating the
+        # same buffer twice is an error).
+        ema_params = (jax.tree.map(lambda x: jnp.array(x), model.params)
+                      if self.use_ema else None)
         self.state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=model.params,
@@ -272,6 +297,7 @@ class Trainer:
             d_params=d_params,
             d_stats=d_stats,
             d_opt_state=d_opt_state,
+            ema_params=ema_params,
         )
         self.state = replicate(self.state, self.mesh)
 
@@ -290,6 +316,7 @@ class Trainer:
             self._model_apply, self._loss_apply, self.tx,
             scale_factor=self.config.scale_factor, compute_dtype=self.compute_dtype,
             grad_norms=self._grad_norms_on,
+            ema_decay=self.config.ema_decay,
         )
         self._content_step = jax.jit(
             content_step, in_shardings=(repl, bsh), donate_argnums=0
@@ -307,12 +334,14 @@ class Trainer:
                 d_updates_per_g=self.config.d_updates_per_g,
                 compute_dtype=self.compute_dtype,
                 grad_norms=self._grad_norms_on,
+                ema_decay=self.config.ema_decay,
             )
             self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh), donate_argnums=0)
 
         eval_step = steps_lib.make_eval_step(
             self._model_apply, self._loss_apply_eval,
             scale_factor=self.config.scale_factor,
+            use_ema=self.use_ema,
         )
         self._eval_step = jax.jit(eval_step, in_shardings=(repl, bsh))
 
@@ -585,10 +614,28 @@ class Trainer:
             params = serialization.from_state_dict(
                 jax.device_get(self.state.params), tree["params"]
             )
-            self.state = self.state.replace(params=replicate(params, self.mesh))
+            # EMA restarts from the loaded weights (fresh stage, fresh
+            # average); copy — must not alias the params buffers (donation)
+            ema = jax.tree.map(lambda x: jnp.array(x), params) if self.use_ema else None
+            self.state = self.state.replace(params=replicate(params, self.mesh),
+                                            ema_params=replicate(ema, self.mesh)
+                                            if ema is not None else None)
             print(f"Loaded model weights from epoch {meta.get('epoch')} (fine-tuning mode)")
             print(f"  Starting fresh with LR={self.config.learning_rate}")
             return
+
+        # EMA compatibility: pre-EMA checkpoints lack the field, and the
+        # flag may differ between the checkpoint and this run. Normalize the
+        # tree to THIS trainer's EMA structure: seed a fresh average from
+        # the checkpoint's params when turning EMA on, drop a stored average
+        # when it is off.
+        tree_ema = tree.get("ema_params")
+        if self.use_ema and tree_ema is None:
+            tree = dict(tree)
+            tree["ema_params"] = jax.tree.map(np.asarray, tree["params"])
+        elif not self.use_ema and tree_ema is not None:
+            tree = dict(tree)
+            tree["ema_params"] = None
 
         if self.use_gan and not meta.get("use_gan", False):
             # Full resume of a non-GAN checkpoint into a GAN trainer: restore
@@ -598,6 +645,9 @@ class Trainer:
                 step=serialization.from_state_dict(host.step, tree["step"]),
                 params=serialization.from_state_dict(host.params, tree["params"]),
                 opt_state=serialization.from_state_dict(host.opt_state, tree["opt_state"]),
+                ema_params=(serialization.from_state_dict(
+                    host.ema_params, tree["ema_params"])
+                    if self.use_ema else None),
             )
             print("  Checkpoint has no discriminator state; D starts fresh")
         else:

@@ -242,6 +242,8 @@ def main():
         accumulation_steps=training_config.get("accumulation_steps", 1),
         use_amp=training_config.get("mixed_precision", True),
         vgg_remat=training_config.get("vgg_remat", False),
+        qat=training_config.get("qat", False),
+        ema_decay=training_config.get("ema_decay", 0.0),
         scheduler_type=scheduler_config.get("type", "cosine"),
         scheduler_T_max=scheduler_config.get("T_max", epochs),
         scheduler_eta_min=scheduler_config.get("eta_min", 1e-7),

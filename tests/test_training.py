@@ -299,3 +299,91 @@ def test_remat_modes_equivalent_gradients():
         loss, w = results[mode]
         assert abs(loss - base_loss) < 1e-6, (mode, loss, base_loss)
         np.testing.assert_allclose(w, base_w, atol=1e-6, rtol=1e-5, err_msg=mode)
+
+
+def test_ema_update_math():
+    """The EMA leaves must equal the closed-form decay average of the
+    parameter trajectory (content step, decay 0.5 for visibility)."""
+    import optax
+    from facesr.losses import combined as fc
+    from facesr.training import steps as steps_lib
+    from facesr.training.steps import TrainState, make_optimizer, set_learning_rate
+
+    params = fen.init(jax.random.PRNGKey(0), SMALL)
+    loss_fn = fc.CombinedLoss(fc.LossConfig(l1_weight=1.0))
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, SMALL, train=train, dtype=dtype)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.0)
+    opt_state = set_learning_rate(tx.init(params), 1e-3)
+    decay = 0.5
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       opt_state=opt_state, loss_params=loss_fn.params,
+                       ema_params=jax.tree.map(jnp.asarray, params))
+    step = jax.jit(steps_lib.make_train_step(
+        model_apply, loss_fn.apply, tx, scale_factor=4,
+        compute_dtype=None, ema_decay=decay))
+
+    hr = jnp.asarray(np.random.default_rng(0).random((8, 32, 32, 3), dtype=np.float32))
+    manual = np.asarray(params["conv_first"]["w"], np.float32)
+    for _ in range(3):
+        state, _ = step(state, hr)
+        p_now = np.asarray(jax.device_get(state.params)["conv_first"]["w"], np.float32)
+        manual = manual * decay + p_now * (1 - decay)
+    got = np.asarray(jax.device_get(state.ema_params)["conv_first"]["w"], np.float32)
+    np.testing.assert_allclose(got, manual, rtol=1e-5, atol=1e-7)
+    # EMA lags the raw params (they moved; the average must differ)
+    assert not np.array_equal(got, p_now)
+
+
+def test_ema_trainer_validation_and_checkpoint(tmp_path):
+    """ema_decay > 0: validation tracks the EMA weights, checkpoints carry
+    them, load_model serves them by default, and pre-EMA checkpoints load
+    into an EMA trainer (seeded from params)."""
+    from facesr.ckpt import load_model
+
+    trainer = _make_trainer(tmp_path, ema_decay=0.999)
+    assert trainer.use_ema
+    history = trainer.train()
+    assert np.isfinite(history["val_psnr"][-1])
+
+    ema_host = jax.device_get(trainer.state.ema_params)
+    params_host = jax.device_get(trainer.state.params)
+    # with decay .999 over a few steps EMA stays near init, params moved
+    assert not np.array_equal(
+        np.asarray(ema_host["conv_first"]["w"]),
+        np.asarray(params_host["conv_first"]["w"]))
+
+    ckpt = str(tmp_path / "ckpt" / "final_model.fckpt")
+    _, served = load_model(ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(served["conv_first"]["w"]),
+        np.asarray(ema_host["conv_first"]["w"]))
+    _, raw = load_model(ckpt, prefer_ema=False)
+    np.testing.assert_array_equal(
+        np.asarray(raw["conv_first"]["w"]),
+        np.asarray(params_host["conv_first"]["w"]))
+
+    # full resume round-trips the EMA
+    trainer2 = _make_trainer(tmp_path, ema_decay=0.999)
+    trainer2.load_checkpoint(ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer2.state.ema_params)["conv_first"]["w"]),
+        np.asarray(ema_host["conv_first"]["w"]))
+
+    # an EMA checkpoint into a plain trainer drops the average
+    trainer4 = _make_trainer(tmp_path)
+    trainer4.load_checkpoint(ckpt)
+    assert trainer4.state.ema_params is None
+
+    # pre-EMA checkpoint (trained without the flag) into an EMA trainer:
+    # the average seeds from the checkpoint's params
+    import shutil
+    trainer_plain = _make_trainer(tmp_path)
+    trainer_plain.train()
+    plain_ckpt = str(tmp_path / "plain_final.fckpt")
+    shutil.copy(str(tmp_path / "ckpt" / "final_model.fckpt"), plain_ckpt)
+    trainer3 = _make_trainer(tmp_path, ema_decay=0.999)
+    trainer3.load_checkpoint(plain_ckpt)
+    ema3 = jax.device_get(trainer3.state.ema_params)
+    np.testing.assert_array_equal(
+        np.asarray(ema3["conv_first"]["w"]),
+        np.asarray(jax.device_get(trainer_plain.state.params)["conv_first"]["w"]))
