@@ -67,14 +67,18 @@ class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
     def __init__(self, checkpoint_dir: str, dtype: str | None = None,
-                 calib_dir: str | None = None, quant_cache: str | None = None):
+                 calib_dir: str | None = None, quant_cache: str | None = None,
+                 batch_window_ms: float = 0.0, max_batch: int = 0):
         """dtype: None/'f32' direct forwards; 'bf16'/'int8'/'int8_full'
         route through ShardedPredictor ('int8' = weight-only quantization,
         'int8_full' also quantizes activations onto the MXU's s8 pipe —
         see facesr.ops.quant and BENCH.md for the quality/speed trade).
         calib_dir: directory of representative LR images; with
         dtype='int8_full' the predictors calibrate static activation scales
-        on them (faster hot path than the default dynamic per-image scales)."""
+        on them (faster hot path than the default dynamic per-image scales).
+        batch_window_ms > 0 coalesces concurrent requests into one device
+        batch (facesr.parallel.serving.MicroBatcher) of up to `max_batch`
+        images (0 = a device-count multiple default)."""
         from app.demo import load_models_from_checkpoints
 
         self.models = load_models_from_checkpoints(checkpoint_dir)
@@ -82,6 +86,7 @@ class SRService:
             raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
         self.default = next(iter(self.models))
         self.predictors = {}
+        self.batchers = {}
         if dtype and dtype != "f32":
             import jax
             import jax.numpy as jnp
@@ -94,10 +99,25 @@ class SRService:
             n = len(jax.devices())
             self.predictors = {
                 name: ShardedPredictor(
-                    m, dtype=jdtype, max_batch=n, calibration=calibration,
+                    m, dtype=jdtype, max_batch=max(n, max_batch or 0),
+                    calibration=calibration,
                     quant_cache=(
                         f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
                         if quant_cache else None))
+                for name, m in self.models.items()
+            }
+        if batch_window_ms > 0:
+            import jax
+            import jax.numpy as jnp
+            from facesr.parallel.serving import MicroBatcher
+
+            mb = max_batch or 4 * len(jax.devices())
+            self.batchers = {
+                name: MicroBatcher(
+                    (self.predictors[name] if name in self.predictors
+                     else (lambda m_: lambda b: np.clip(
+                         np.asarray(m_(jnp.asarray(b))), 0, 1))(m)),
+                    max_batch=mb, window_ms=batch_window_ms)
                 for name, m in self.models.items()
             }
 
@@ -125,7 +145,9 @@ class SRService:
             raise ValueError("could not decode image")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         lr, _ = prepare_inputs(rgb)
-        if name in self.predictors:
+        if name in self.batchers:
+            sr = self.batchers[name](lr)
+        elif name in self.predictors:
             sr = self.predictors[name](lr[None])[0]
         else:
             sr = np.asarray(self.models[name](jnp.asarray(lr[None])))[0]
@@ -155,11 +177,17 @@ def make_handler(service: SRService):
                 if path == "/health":
                     import jax
 
-                    self._json(200, {
+                    info = {
                         "status": "ok",
                         "models": list(service.models),
                         "device": jax.devices()[0].platform,
-                    })
+                    }
+                    if service.batchers:
+                        info["batching"] = {
+                            name: {"calls": b.calls, "images": b.images}
+                            for name, b in service.batchers.items()
+                        }
+                    self._json(200, info)
                 elif path == "/models":
                     self._json(200, service.model_info())
                 else:
@@ -198,9 +226,11 @@ def make_handler(service: SRService):
 
 def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0",
           dtype: str | None = None, calib_dir: str | None = None,
-          quant_cache: str | None = None):
+          quant_cache: str | None = None, batch_window_ms: float = 0.0,
+          max_batch: int = 0):
     service = SRService(checkpoint_dir, dtype=dtype, calib_dir=calib_dir,
-                        quant_cache=quant_cache)
+                        quant_cache=quant_cache,
+                        batch_window_ms=batch_window_ms, max_batch=max_batch)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"facesr API serving {list(service.models)} on {host}:{port}")
     return server
@@ -226,6 +256,13 @@ def main():
     parser.add_argument("--quant-cache", type=str, default=None,
                         help="path prefix persisting calibrated int8 trees "
                              "(per model) so restarts skip calibration")
+    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+                        help="coalesce concurrent requests arriving within "
+                             "this window into ONE device batch (TPU "
+                             "throughput is batch-bound — see BENCH.md); "
+                             "0 = one forward per request")
+    parser.add_argument("--max-batch", type=int, default=0,
+                        help="micro-batch size cap (0 = 4x device count)")
     args = parser.parse_args()
 
     if args.platform:
@@ -234,7 +271,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype,
-                   calib_dir=args.calib_dir, quant_cache=args.quant_cache)
+                   calib_dir=args.calib_dir, quant_cache=args.quant_cache,
+                   batch_window_ms=args.batch_window_ms,
+                   max_batch=args.max_batch)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -35,6 +35,12 @@ def main() -> None:
                    help="discriminator updates per G step (0 = ablate the D update)")
     p.add_argument("--gan-weight", type=float, default=0.005,
                    help="0 ablates the D forward inside the G update")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: fake-quant every conv "
+                        "on the int8 serving grid (STE)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="EMA decay (> 0 maintains the generator average "
+                        "inside the step)")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--hr-size", type=int, default=256)
     p.add_argument("--f32", action="store_true", help="disable the bf16 policy")
@@ -70,6 +76,14 @@ def main() -> None:
 
     compute_dtype = None if args.f32 else jnp.bfloat16
     model_apply = lambda p_, x, train, dtype: fen.apply(p_, x, cfg, train=train, dtype=dtype)
+    if args.qat:
+        from facesr.ops.quant import fake_quant_params
+
+        _base_apply = model_apply
+        model_apply = lambda p_, x, train, dtype: _base_apply(
+            fake_quant_params(p_), x, train=train, dtype=dtype)
+    ema_params = (jax.tree.map(lambda x: jnp.array(x), params)
+                  if args.ema > 0 else None)
     loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype,
                                                  vgg_remat=vgg_remat)
     if args.gan:
@@ -81,18 +95,22 @@ def main() -> None:
         state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                            opt_state=opt_state, loss_params=loss_fn.params,
                            d_params=d_params, d_stats=d_stats,
-                           d_opt_state=set_learning_rate(tx_d.init(d_params), 1e-4))
+                           d_opt_state=set_learning_rate(tx_d.init(d_params), 1e-4),
+                           ema_params=ema_params)
         disc_apply = lambda p_, s, x, train: disc_lib.apply(
             p_, s, x, dcfg, train=train, dtype=compute_dtype)
         step_fn = steps_lib.make_gan_train_step(
             model_apply, loss_apply, disc_apply, tx, tx_d, scale_factor=4,
             gan_weight=args.gan_weight, gan_type="vanilla",
-            d_updates_per_g=args.d_updates, compute_dtype=compute_dtype)
+            d_updates_per_g=args.d_updates, compute_dtype=compute_dtype,
+            ema_decay=args.ema)
     else:
         state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
-                           opt_state=opt_state, loss_params=loss_fn.params)
+                           opt_state=opt_state, loss_params=loss_fn.params,
+                           ema_params=ema_params)
         step_fn = steps_lib.make_train_step(model_apply, loss_apply, tx,
-                                            scale_factor=4, compute_dtype=compute_dtype)
+                                            scale_factor=4, compute_dtype=compute_dtype,
+                                            ema_decay=args.ema)
     step = jax.jit(step_fn, donate_argnums=0 if args.donate else ())
 
     rng = np.random.default_rng(0)
@@ -124,7 +142,9 @@ def main() -> None:
     dt = sorted(dts)[1]
     ms = dt / args.steps * 1e3
     rate = args.batch * args.steps / dt
-    print(f"batch {args.batch}{" GAN" if args.gan else ""} remat={args.remat} vgg_remat={args.vgg_remat} "
+    print(f"batch {args.batch}{" GAN" if args.gan else ""}"
+          f"{' QAT' if args.qat else ''}{f' ema={args.ema}' if args.ema else ''} "
+          f"remat={args.remat} vgg_remat={args.vgg_remat} "
           f"dtype={'f32' if args.f32 else 'bf16'}: "
           f"{ms:.1f} ms/step, {rate:.1f} img/s/chip "
           f"(reps {[round(args.batch * args.steps / d, 1) for d in dts]})")

@@ -20,7 +20,8 @@ from facesr.parallel.mesh import (
     get_mesh, replicate, batch_sharding, row_sharding, pad_to_multiple,
 )
 
-__all__ = ["ShardedPredictor", "SpatialPredictor", "calibrated_qparams"]
+__all__ = ["ShardedPredictor", "SpatialPredictor", "MicroBatcher",
+           "calibrated_qparams"]
 
 
 def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int,
@@ -308,3 +309,108 @@ class ShardedPredictor:
         for y, v in in_flight:
             outs.append(np.asarray(y[:v]))
         return np.concatenate(outs, axis=0)
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into one device batch.
+
+    TPU serving is throughput-optimal at large batches (BENCH.md: batch 128
+    runs ~1.8x the img/s of batch 32) while HTTP requests arrive one image
+    at a time. A background dispatcher collects requests for up to
+    `window_ms` (or until `max_batch` same-shape images are waiting), runs
+    ONE batched forward, and hands each caller its slice — callers block
+    only for their own result. Per-image outputs are identical to
+    single-request serving because the model has no cross-image state and
+    the int8 path uses per-IMAGE activation scales (batch-composition
+    independence, facesr.ops.conv). No reference equivalent (the reference
+    serves one image per gradio interaction, app/demo.py:225-359).
+
+    `fn`: batched forward, [N,h,w,3] float32 -> [N,H,W,3]. Mixed input
+    shapes are grouped: each dispatch takes the longest same-shape prefix
+    cohort of the queue.
+    """
+
+    def __init__(self, fn: Callable, max_batch: int = 8, window_ms: float = 5.0):
+        import threading
+
+        self.fn = fn
+        self.max_batch = max(1, int(max_batch))
+        self.window = max(0.0, float(window_ms)) / 1000.0
+        self.calls = 0          # batched forwards issued
+        self.images = 0         # images served (observability: images/calls
+                                # = achieved batching factor)
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pending: list = []
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._loop, daemon=True, name="facesr-microbatcher")
+        self._worker.start()
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        """Submit one HWC image; blocks until its SR result is ready."""
+        import threading
+
+        item = {"x": np.asarray(image), "out": None, "err": None,
+                "done": threading.Event()}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._pending.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _take_cohort(self) -> list:
+        """Pop up to max_batch queued items sharing the first item's shape
+        (a single dispatch needs one static shape; stragglers with other
+        shapes stay queued for the next dispatch)."""
+        shape = self._pending[0]["x"].shape
+        cohort, rest = [], []
+        for item in self._pending:
+            if len(cohort) < self.max_batch and item["x"].shape == shape:
+                cohort.append(item)
+            else:
+                rest.append(item)
+        self._pending = rest
+        return cohort
+
+    def _loop(self) -> None:
+        import time as _time
+
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+                # linger up to the window for co-arriving requests
+                deadline = _time.monotonic() + self.window
+                while (len(self._pending) < self.max_batch and not self._closed):
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                cohort = self._take_cohort()
+            try:
+                batch = np.stack([i["x"] for i in cohort])
+                out = np.asarray(self.fn(batch))
+                self.calls += 1
+                self.images += len(cohort)
+                for idx, item in enumerate(cohort):
+                    item["out"] = out[idx]
+            except Exception as e:  # deliver the failure to every caller
+                for item in cohort:
+                    item["err"] = e
+            finally:
+                for item in cohort:
+                    item["done"].set()

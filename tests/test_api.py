@@ -133,3 +133,102 @@ def test_api_int8_serving(tmp_path):
         assert sr.shape == (256, 256, 3)
     finally:
         srv.shutdown()
+
+
+def test_microbatcher_batches_and_matches_serial():
+    """MicroBatcher: concurrent submissions coalesce into fewer forwards,
+    per-image results are bit-identical to serial calls, mixed shapes are
+    cohorted, and errors propagate to the callers that caused them."""
+    import time
+    from facesr.parallel.serving import MicroBatcher
+
+    def fn(batch):
+        if batch.shape[1] == 13:
+            raise ValueError("bad shape")
+        return batch * 2.0 + 1.0
+
+    mb = MicroBatcher(fn, max_batch=8, window_ms=50.0)
+    try:
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((4, 4, 3)).astype(np.float32) for _ in range(8)]
+        results = [None] * 8
+        threads = [threading.Thread(target=lambda i=i: results.__setitem__(
+            i, mb(imgs[i]))) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(8):
+            np.testing.assert_array_equal(results[i], imgs[i] * 2.0 + 1.0)
+        assert mb.images == 8
+        assert mb.calls < 8  # actually batched (50ms window, concurrent)
+
+        # mixed shapes dispatch as separate same-shape cohorts
+        a = rng.random((4, 4, 3)).astype(np.float32)
+        b = rng.random((6, 6, 3)).astype(np.float32)
+        out = [None, None]
+        ts = [threading.Thread(target=lambda: out.__setitem__(0, mb(a))),
+              threading.Thread(target=lambda: out.__setitem__(1, mb(b)))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        np.testing.assert_array_equal(out[0], a * 2.0 + 1.0)
+        np.testing.assert_array_equal(out[1], b * 2.0 + 1.0)
+
+        with pytest.raises(ValueError, match="bad shape"):
+            mb(rng.random((13, 13, 3)).astype(np.float32))
+        # the batcher survives an erroring cohort
+        np.testing.assert_array_equal(mb(a), a * 2.0 + 1.0)
+    finally:
+        mb.close()
+
+
+def test_api_microbatched_serving_matches_unbatched(tmp_path):
+    # --batch-window-ms: concurrent requests coalesce into one device batch
+    # and every client gets the same PNG the unbatched server produces.
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    save_model(str(ckpt_dir / "best_model.fckpt"), model.params, cfg, "custom")
+
+    from app.api import serve
+
+    srv_plain = serve(str(ckpt_dir), port=0, host="127.0.0.1")
+    srv_mb = serve(str(ckpt_dir), port=0, host="127.0.0.1",
+                   batch_window_ms=100.0, max_batch=8)
+    ports = (srv_plain.server_address[1], srv_mb.server_address[1])
+    for srv in (srv_plain, srv_mb):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(0)
+        pngs = []
+        for i in range(4):
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            ok, png = cv2.imencode(".png", img)
+            pngs.append(png.tobytes())
+
+        serial = [_request(ports[0], "POST", "/super-resolve", body=p)[2]
+                  for p in pngs]
+
+        batched = [None] * 4
+        def hit(i):
+            batched[i] = _request(ports[1], "POST", "/super-resolve",
+                                  body=pngs[i])[2]
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        for i in range(4):
+            assert batched[i] == serial[i]  # byte-identical PNGs
+
+        status, _, data = _request(ports[1], "GET", "/health")
+        stats = json.loads(data)["batching"]
+        b = next(iter(stats.values()))
+        assert b["images"] == 4 and b["calls"] >= 1
+    finally:
+        srv_plain.shutdown()
+        srv_mb.shutdown()
