@@ -251,8 +251,11 @@ def upsample(stages: list[Params], x: jax.Array, next_w=None,
     for i, sp in enumerate(stages):
         y = conv2d(x, sp["conv_w"], sp["conv_b"], padding=1)
         nxt = stages[i + 1]["conv_w"] if i + 1 < len(stages) else next_w
-        if (isinstance(nxt, dict) and "a" in nxt
+        if (isinstance(nxt, dict) and "a" in nxt and "q" in nxt
                 and jnp.issubdtype(y.dtype, jnp.floating)):
+            # ("q" guard: a QAT {"fq","a"} kernel must NOT take the packed
+            # int8 path — its quantize lives inside the fake-quant conv,
+            # with straight-through gradients)
             y = prelu(y, jnp.repeat(sp["prelu_a"], 4))
             y = quantize_act(y, nxt["a"])
             if keep_last_packed and i + 1 == len(stages):

@@ -188,10 +188,16 @@ def _conv2d_fakequant(
     wq = jnp.clip(_ste_round(wf / s), -127, 127) * s
 
     xf = x.astype(jnp.float32)
-    a = jax.lax.stop_gradient(
-        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
-    )
-    a = jnp.where(a == 0, 1.0, a)
+    if "a" in w:
+        # calibrated static serving grid: same scale the deployed int8_full
+        # path uses, including its saturation at +-127 (the clip's zero
+        # gradient outside the range pushes training back inside it)
+        a = w["a"]
+    else:
+        a = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
+        )
+        a = jnp.where(a == 0, 1.0, a)
     xq = jnp.clip(_ste_round(xf / a), -127, 127) * a
 
     return conv2d(

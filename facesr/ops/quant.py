@@ -116,7 +116,7 @@ def quantize_conv_kernels(params: Any, with_sids: bool = False):
     return (tree, n_sites) if with_sids else tree
 
 
-def fake_quant_params(params: Any) -> Any:
+def fake_quant_params(params: Any, act_scales: Any = None) -> Any:
     """QAT transform: wrap each conv-kernel leaf as a `{"fq": leaf}` dict
     that `facesr.ops.conv2d` dispatches to the differentiable fake-quant
     path (straight-through-estimator rounding on the EXACT int8 serving
@@ -130,16 +130,44 @@ def fake_quant_params(params: Any) -> Any:
     converters all keep the plain float tree. Apply via
     `TrainerConfig(qat=True)` or wrap any model_apply directly.
 
+    `act_scales`: a calibrated int8 tree for the SAME architecture (from
+    `calibrate_act_scales` / the `scripts/export_quantized.py` artifact via
+    `facesr.parallel.serving.load_calibrated_qparams`). Its static "a"
+    leaves ride along as `{"fq": w, "a": a}` so training fake-quantizes on
+    the CALIBRATED serving grid — including its saturation behavior
+    (activations beyond the calibrated range clip at +-127, exactly like
+    the deployed int8_full path) — instead of the dynamic per-image grid.
+
     No reference equivalent (the reference never quantizes —
     /root/reference/src has no QAT); this closes the loop on the int8
     serving path so exported models keep their quality.
     """
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = [
-        {"fq": jnp.asarray(leaf)} if _is_conv_kernel(path, jnp.asarray(leaf))
-        else leaf
-        for path, leaf in flat
-    ]
+    if act_scales is None:
+        out = [
+            {"fq": jnp.asarray(leaf)} if _is_conv_kernel(path, jnp.asarray(leaf))
+            else leaf
+            for path, leaf in flat
+        ]
+        return treedef.unflatten(out)
+
+    q_flat = jax.tree_util.tree_flatten_with_path(
+        act_scales, is_leaf=lambda n: isinstance(n, dict) and "a" in n
+    )[0]
+    if len(q_flat) != len(flat):
+        raise ValueError(
+            f"act_scales tree does not match params: {len(q_flat)} vs "
+            f"{len(flat)} leaves — calibrate on the same architecture")
+    out = []
+    for (path, leaf), (q_path, q_leaf) in zip(flat, q_flat):
+        leaf = jnp.asarray(leaf)
+        if not _is_conv_kernel(path, leaf):
+            out.append(leaf)
+            continue
+        if not (isinstance(q_leaf, dict) and "a" in q_leaf):
+            raise ValueError(
+                f"act_scales has no calibrated scale at {jax.tree_util.keystr(path)}")
+        out.append({"fq": leaf, "a": jnp.asarray(q_leaf["a"])})
     return treedef.unflatten(out)
 
 

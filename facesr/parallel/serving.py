@@ -21,7 +21,31 @@ from facesr.parallel.mesh import (
 )
 
 __all__ = ["ShardedPredictor", "SpatialPredictor", "MicroBatcher",
-           "calibrated_qparams"]
+           "calibrated_qparams", "load_calibrated_qparams"]
+
+
+def load_calibrated_qparams(params, cache_path: str):
+    """Restore a calibrated int8 tree (scripts/export_quantized.py artifact
+    / ShardedPredictor quant_cache) against this model's params structure.
+    Fails loudly on architecture mismatch. Consumers: int8_full serving,
+    and static-scale QAT (facesr.ops.quant.fake_quant_params act_scales)."""
+    from facesr.ckpt.checkpoint import load_checkpoint
+    from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
+
+    qp_sid, n_sites = quantize_conv_kernels(params, with_sids=True)
+    target = attach_act_scales(qp_sid, np.ones(n_sites))
+    tree, meta = load_checkpoint(cache_path, target=target)
+    if meta.get("kind") != "facesr-int8-calibrated":
+        raise ValueError(f"{cache_path} is not a calibrated-int8 cache")
+
+    def check(got, want):
+        if np.shape(got) != np.shape(want):
+            raise ValueError(
+                f"quant cache {cache_path} does not match this model: "
+                f"leaf shape {np.shape(got)} vs expected {np.shape(want)}")
+        return got
+
+    return jax.tree.map(check, tree, target)
 
 
 def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int,
@@ -43,23 +67,7 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
     from facesr.ops.quant import calibrate_act_scales
 
     if cache_path and os.path.exists(cache_path):
-        from facesr.ckpt.checkpoint import load_checkpoint
-        from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
-
-        qp_sid, n_sites = quantize_conv_kernels(params, with_sids=True)
-        target = attach_act_scales(qp_sid, np.ones(n_sites))
-        tree, meta = load_checkpoint(cache_path, target=target)
-        if meta.get("kind") != "facesr-int8-calibrated":
-            raise ValueError(f"{cache_path} is not a calibrated-int8 cache")
-
-        def check(got, want):
-            if np.shape(got) != np.shape(want):
-                raise ValueError(
-                    f"quant cache {cache_path} does not match this model: "
-                    f"leaf shape {np.shape(got)} vs expected {np.shape(want)}")
-            return got
-
-        return jax.tree.map(check, tree, target)
+        return load_calibrated_qparams(params, cache_path)
 
     calib = np.asarray(calibration, np.float32)
     n = min(max_batch, len(calib))

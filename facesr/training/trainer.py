@@ -202,6 +202,7 @@ class Trainer:
         discriminator: Optional[tuple] = None,  # (cfg, params, stats)
         mesh=None,
         optimizer=None,
+        qat_scales=None,
     ):
         """`optimizer`: optional optax GradientTransformation overriding the
         default AdamW(+clip+freeze-labels). For the transfer model's
@@ -209,7 +210,12 @@ class Trainer:
         `facesr.models.transfer.make_stage_optimizer` here; the default path
         mirrors the reference's actual training (train.py:357-365: one AdamW
         LR over all unfrozen params). Epoch LR scheduling only applies when
-        the optimizer carries an injected `learning_rate` hyperparameter."""
+        the optimizer carries an injected `learning_rate` hyperparameter.
+
+        `qat_scales`: with config.qat, a calibrated int8 tree (see
+        facesr.parallel.serving.load_calibrated_qparams) pins the
+        fake-quant activation grid to the CALIBRATED serving scales —
+        saturation included — instead of dynamic per-image scales."""
         self.config = config or TrainerConfig()
         self.model = model
         self.model_cfg = model.config
@@ -231,7 +237,8 @@ class Trainer:
 
             _base_apply = self._model_apply
             self._model_apply = lambda p, x, train, dtype: _base_apply(
-                fake_quant_params(p), x, train=train, dtype=dtype)
+                fake_quant_params(p, act_scales=qat_scales),
+                x, train=train, dtype=dtype)
         self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
         # The mixed-precision policy extends to the loss's VGG sweep (its
         # 256^2 convs are the single most expensive part of the stage-1

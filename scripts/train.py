@@ -78,6 +78,11 @@ def main():
                         help="Reference-compat alias: 'cpu' maps to "
                              "--platform cpu; 'cuda' is ignored (JAX picks "
                              "the accelerator automatically)")
+    parser.add_argument("--qat-scales", type=str, default=None,
+                        help="calibrated int8 artifact "
+                             "(scripts/export_quantized.py output) pinning "
+                             "QAT's activation grid to the static serving "
+                             "scales (training.qat must be on)")
     parser.add_argument("--fast-loader", action="store_true",
                         help="Use the native (C++) HR-only batch assembler "
                              "for the training loader (LR is synthesized "
@@ -286,6 +291,15 @@ def main():
             use_bn=gan_config.get("d_use_bn", True),
         )
 
+    qat_scales = None
+    if args.qat_scales:
+        if not trainer_config.qat:
+            raise SystemExit("--qat-scales requires training.qat: true")
+        from facesr.parallel.serving import load_calibrated_qparams
+
+        qat_scales = load_calibrated_qparams(model.params, args.qat_scales)
+        print(f"QAT pinned to calibrated activation scales from {args.qat_scales}")
+
     trainer = Trainer(
         model=model,
         train_loader=train_loader,
@@ -293,6 +307,7 @@ def main():
         loss_fn=loss_fn,
         config=trainer_config,
         discriminator=discriminator,
+        qat_scales=qat_scales,
     )
 
     # CLI --resume is a full resume (unless --fine-tune); a `resume:` path

@@ -8,6 +8,7 @@ on the int8 serving path so exported models keep their quality.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -202,3 +203,116 @@ def test_trainer_qat_flag(tmp_path):
     assert len(history["train_loss"]) == 1
     assert np.isfinite(history["train_loss"][0])
     assert np.isfinite(history["val_psnr"][0])
+
+
+def test_static_scale_qat_tracks_calibrated_serving():
+    """fake_quant_params(act_scales=calibrated_tree): the QAT forward must
+    sit on the CALIBRATED int8 grid — agreeing with calibrated serving far
+    tighter than with the dynamic int8 path — and saturate out-of-range
+    activations exactly like deployment."""
+    from facesr.ops import quant
+
+    params = _small_model_params()
+    x = jnp.asarray(
+        np.random.default_rng(7).random((4, 16, 16, 3), dtype=np.float32))
+
+    # calibrate on one batch (CPU io_callback works in tests)
+    fwd = jax.jit(lambda p, b: fen.apply(p, b, SMALL, train=False))
+    qtree = quant.calibrate_act_scales(params, fwd, [np.asarray(x)])
+
+    qat_static = np.asarray(fen.apply(
+        quant.fake_quant_params(params, act_scales=qtree), x, SMALL, train=False))
+    int8_cal = np.asarray(fen.apply(qtree, x, SMALL, train=False))
+    int8_dyn = np.asarray(fen.apply(
+        quant.quantize_conv_kernels(params), x, SMALL, train=False))
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    agree_cal = psnr(qat_static, int8_cal)
+    agree_dyn = psnr(qat_static, int8_dyn)
+    assert agree_cal > 40.0, (agree_cal, agree_dyn)
+    assert agree_cal > agree_dyn + 3.0, (agree_cal, agree_dyn)
+
+    # gradients still flow through the static grid
+    def loss(p):
+        out = fen.apply(quant.fake_quant_params(p, act_scales=qtree),
+                        x, SMALL, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(l))
+                               for l in jax.tree.leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+    # saturation: a single conv given 10x-out-of-calibration input clips at
+    # the grid edge exactly like the integer path
+    from facesr.ops import conv as conv_ops
+    w = np.asarray(params["conv_first"]["w"])
+    a_small = jnp.asarray([[[[0.01]]]])
+    fq_out = conv_ops.conv2d(x * 100.0, {"fq": jnp.asarray(w), "a": a_small})
+    scale = jnp.max(jnp.abs(jnp.asarray(w)), axis=(0, 1, 2), keepdims=True) / 127.0
+    qd = {"q": jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8),
+          "scale": scale, "a": a_small}
+    int_out = conv_ops.conv2d((x * 100.0), qd)
+    np.testing.assert_allclose(np.asarray(fq_out), np.asarray(int_out),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_static_scale_qat_structure_mismatch_errors():
+    from facesr.ops import quant
+
+    params = _small_model_params()
+    other = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    qtree = quant.quantize_conv_kernels(fen.init(jax.random.PRNGKey(1), other))
+    with pytest.raises((ValueError, KeyError)):
+        quant.fake_quant_params(params, act_scales=qtree)
+
+
+def test_trainer_qat_scales_kwarg(tmp_path):
+    """Trainer(qat_scales=...) pins the grid: the training forward matches
+    the dynamic-QAT forward only when scales agree, and training runs."""
+    from facesr.losses import combined as fc
+    from facesr.training import Trainer, TrainerConfig
+    from facesr.ops import quant
+
+    class FakeLoader:
+        def __init__(self, n=1, batch=8, size=32, seed=0):
+            rng = np.random.default_rng(seed)
+            self.batches = [{"hr": rng.random((batch, size, size, 3),
+                                              dtype=np.float32)}
+                            for _ in range(n)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+    model = fen.FaceEnhanceNet(SMALL)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5), model.params["conv_last"]["w"].shape)
+        * 0.05
+    )
+    calib = np.random.default_rng(8).random((4, 8, 8, 3)).astype(np.float32)
+    fwd = jax.jit(lambda p, b: fen.apply(p, b, SMALL, train=False))
+    qtree = quant.calibrate_act_scales(model.params, fwd, [calib])
+
+    cfg = TrainerConfig(
+        epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        save_every=100, scheduler_T_max=1, qat=True,
+    )
+    trainer = Trainer(model, FakeLoader(), FakeLoader(seed=1), loss_fn=
+                      fc.create_loss_function(l1_weight=1.0), config=cfg,
+                      qat_scales=qtree)
+    x = jnp.asarray(np.random.default_rng(9).random((2, 8, 8, 3), dtype=np.float32))
+    static_fwd = np.asarray(trainer._model_apply(model.params, x, train=False, dtype=None))
+    want = np.asarray(fen.apply(
+        quant.fake_quant_params(model.params, act_scales=qtree),
+        x, SMALL, train=False))
+    np.testing.assert_array_equal(static_fwd, want)
+
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
