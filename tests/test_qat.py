@@ -316,3 +316,48 @@ def test_trainer_qat_scales_kwarg(tmp_path):
 
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_qat_sharded_step_matches_single_device():
+    """QAT under data parallelism: the fake-quant grids are shard-safe
+    (weight scales replicated, activation scales per-IMAGE so reductions
+    stay shard-local) — the 8-way sharded QAT step must match the
+    single-device step."""
+    from facesr.losses import combined as fc
+    from facesr.parallel import get_mesh, replicate, replicated, batch_sharding
+    from facesr.training import steps as steps_lib
+    from facesr.training.steps import TrainState, make_optimizer, set_learning_rate
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+
+    def make(mesh):
+        params = fen.init(jax.random.PRNGKey(0), cfg)
+        loss_fn = fc.create_loss_function(l1_weight=1.0)
+        tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           opt_state=set_learning_rate(tx.init(params), 1e-3),
+                           loss_params=loss_fn.params)
+        apply_ = lambda p, x, train, dtype: fen.apply(
+            fake_quant_params(p), x, cfg, train=train, dtype=dtype)
+        step = steps_lib.make_train_step(apply_, loss_fn.apply, tx,
+                                         scale_factor=4, compute_dtype=None)
+        if mesh is not None:
+            state = replicate(state, mesh)
+            step = jax.jit(step, in_shardings=(replicated(mesh),
+                                               batch_sharding(mesh)))
+        else:
+            step = jax.jit(step)
+        return step, state
+
+    hr = np.random.default_rng(0).random((8, 32, 32, 3), dtype=np.float32)
+    step1, state1 = make(None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh = get_mesh()
+    step8, state8 = make(mesh)
+    state8, m8 = step8(state8, jax.device_put(hr, batch_sharding(mesh)))
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
+        np.asarray(jax.device_get(state8.params)["conv_last"]["w"]), atol=1e-6)
