@@ -161,8 +161,12 @@ def main() -> None:
     parser.add_argument("--train-ratio", type=float, default=0.857)
     parser.add_argument("--val-ratio", type=float, default=0.071)
     parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--hdf5", action="store_true", help="Also pack splits into .h5 files")
+    parser.add_argument("--hdf5", "--save-hdf5", dest="hdf5", action="store_true",
+                        help="Also pack splits into .h5 files")
     parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--dry-run", action="store_true",
+                        help="Show the split without processing "
+                             "(reference prepare_data.py:276,313-315)")
     args = parser.parse_args()
 
     files = get_image_files(Path(args.input))
@@ -171,6 +175,12 @@ def main() -> None:
     print(f"Found {len(files)} images")
 
     train_f, val_f, test_f = split_dataset(files, args.train_ratio, args.val_ratio, args.seed)
+    if args.dry_run:
+        print(f"  Train: {len(train_f)} images")
+        print(f"  Val:   {len(val_f)} images")
+        print(f"  Test:  {len(test_f)} images")
+        print("\n[Dry run] No files were processed.")
+        return
     out = Path(args.output)
     stats = {}
     for split, flist in (("train", train_f), ("val", val_f), ("test", test_f)):

@@ -24,10 +24,12 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser(description="Measure SR inference latency")
     parser.add_argument("--checkpoint", "--custom-checkpoint",
-                        "--transfer-checkpoint", dest="checkpoint",
-                        type=str, default=None,
+                        dest="checkpoint", type=str, default=None,
                         help="Checkpoint to time (default: fresh 6x10x64 model, "
                              "reference default :152-158)")
+    parser.add_argument("--transfer-checkpoint", type=str, default=None,
+                        help="Also time a transfer-model checkpoint "
+                             "(reference measure_inference_time.py:125,171-183)")
     parser.add_argument("--input-size", type=int, default=64)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--num-runs", type=int, default=100)
@@ -91,29 +93,46 @@ def main():
           f"{'int8_full' + ('/calibrated' if args.calibrate else '')
              if args.int8 else 'bf16' if args.bf16 else 'f32'}")
 
-    for _ in range(args.warmup):
-        float(fwd(params, x))
+    def time_model(fwd, params):
+        for _ in range(args.warmup):
+            float(fwd(params, x))
 
-    if args.profile:
-        jax.profiler.start_trace(args.profile)
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
 
-    times = []
-    for _ in range(args.num_runs):
-        t0 = time.perf_counter()
-        float(fwd(params, x))
-        times.append((time.perf_counter() - t0) * 1000)
+        times = []
+        for _ in range(args.num_runs):
+            t0 = time.perf_counter()
+            float(fwd(params, x))
+            times.append((time.perf_counter() - t0) * 1000)
 
-    if args.profile:
-        jax.profiler.stop_trace()
-        print(f"Profiler trace written to {args.profile}")
+        if args.profile:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {args.profile}")
 
-    times = np.asarray(times)
-    print(f"\nInference time over {args.num_runs} runs:")
-    print(f"  avg: {times.mean():.2f} ms")
-    print(f"  min: {times.min():.2f} ms")
-    print(f"  max: {times.max():.2f} ms")
-    print(f"  p50: {np.percentile(times, 50):.2f} ms")
-    print(f"  images/sec: {args.batch_size / (times.mean() / 1000):.1f}")
+        times = np.asarray(times)
+        print(f"\nInference time over {args.num_runs} runs:")
+        print(f"  avg: {times.mean():.2f} ms")
+        print(f"  min: {times.min():.2f} ms")
+        print(f"  max: {times.max():.2f} ms")
+        print(f"  p50: {np.percentile(times, 50):.2f} ms")
+        print(f"  images/sec: {args.batch_size / (times.mean() / 1000):.1f}")
+
+    time_model(fwd, params)
+
+    # Second timed model, reference measure_inference_time.py:125,171-183
+    if args.transfer_checkpoint:
+        from facesr.ckpt import load_model
+        from facesr.models import transfer as transfer_lib
+
+        tcfg, tparams = load_model(args.transfer_checkpoint, model_type="transfer")
+        tparams = jax.tree.map(jnp.asarray, tparams)
+        print(f"\nTransfer Model (from {args.transfer_checkpoint}): "
+              f"{tcfg.backbone_blocks} backbone RRDBs + "
+              f"{tcfg.head_blocks}-RCAB head")
+        tfwd = jax.jit(lambda p, x_: transfer_lib.apply(
+            p, x_, tcfg, train=False, dtype=dtype).sum())
+        time_model(tfwd, tparams)
 
 
 if __name__ == "__main__":

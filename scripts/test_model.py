@@ -23,15 +23,36 @@ import numpy as np
 import cv2
 
 
-def load_model(checkpoint_path: str):
+def load_model(checkpoint_path: str, config_yaml: str | None = None):
     """Load any facesr checkpoint (custom/transfer/esrgan) via the shared
     type-dispatching loader; architecture comes from checkpoint metadata
-    (with shape inference as fallback — checkpoints are self-describing)."""
+    (with shape inference as fallback — checkpoints are self-describing).
+
+    `config_yaml`: explicit model config override (reference
+    test_model.py --config, :82-136) — the `model.custom` section of a
+    training YAML; useful for checkpoints converted from bare state
+    dicts."""
     from facesr.models.load import load_any_model
 
     if not Path(checkpoint_path).exists():
         sys.exit(f"Error: checkpoint not found: {checkpoint_path}")
     model = load_any_model(checkpoint_path)
+    if config_yaml:
+        import yaml
+        from facesr.models.face_enhance_net import (
+            FaceEnhanceNet, FaceEnhanceNetConfig)
+
+        with open(config_yaml) as f:
+            y = yaml.safe_load(f) or {}
+        section = (y.get("model", {}) or {}).get("custom", y)
+        known = {k: v for k, v in section.items()
+                 if k in FaceEnhanceNetConfig.__dataclass_fields__}
+        # reference YAML spells scale 'upscale_factor'
+        if "upscale_factor" in section:
+            known["scale_factor"] = section["upscale_factor"]
+        if known:
+            model = FaceEnhanceNet(config=FaceEnhanceNetConfig(**known),
+                                   params=model.params)
     print(f"Loaded model: {type(model).__name__} ({model.config})")
     return model
 
@@ -90,7 +111,7 @@ def test_single_image(model, hr_path: Path, output_dir: Path, scale: int = 4,
 
 
 def _save_and_score(files, hrs, lrs, srs, output_dir: Path,
-                    no_comparison: bool) -> list:
+                    no_comparison: bool, no_save: bool = False) -> list:
     """Per-image metrics + artifacts for a batched chunk (same outputs as
     test_single_image)."""
     rows = []
@@ -102,6 +123,9 @@ def _save_and_score(files, hrs, lrs, srs, output_dir: Path,
         r = {"model": metrics, "bicubic": compute_metrics(bicubic, hr),
              "file": f.name}
         rows.append(r)
+        if no_save:
+            _print_row(r)
+            continue
         cv2.imwrite(str(output_dir / f"{f.stem}_sr.png"),
                     cv2.cvtColor(sr_uint8, cv2.COLOR_RGB2BGR))
         if not no_comparison:
@@ -123,6 +147,9 @@ def _print_row(r: dict) -> None:
 def main():
     parser = argparse.ArgumentParser(description="Test Face Super-Resolution Model")
     parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None,
+                        help="Explicit model config YAML override "
+                             "(reference test_model.py --config)")
     parser.add_argument("--input", "--image", "--hr-dir", dest="input",
                         type=str, required=True,
                         help="HR image file or directory (reference spells "
@@ -133,6 +160,9 @@ def main():
     parser.add_argument("--max-images", "--num-images", dest="max_images",
                         type=int, default=None)
     parser.add_argument("--no-comparison", action="store_true")
+    parser.add_argument("--no-save", action="store_true",
+                        help="Do not save output images (metrics only; "
+                             "reference test_model.py:353-354)")
     parser.add_argument("--per-image", action="store_true",
                         help="Legacy batch-1 forwards instead of the batched "
                              "sharded path (identical metrics, ~10x slower "
@@ -148,7 +178,7 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    model = load_model(args.checkpoint)
+    model = load_model(args.checkpoint, config_yaml=args.config)
     input_path = Path(args.input)
     output_dir = Path(args.output)
 
@@ -166,7 +196,9 @@ def main():
     results = []
     if args.per_image or len(files) == 1:  # no point padding one image
         for f in files:
-            r = test_single_image(model, f, output_dir, args.scale,
+            r = test_single_image(model, f,
+                                  None if args.no_save else output_dir,
+                                  args.scale,
                                   save_comparison=not args.no_comparison)
             results.append(r)
             _print_row(r)
@@ -186,7 +218,8 @@ def main():
             lrs = synthesize_lr_batched(hrs, args.scale)
             srs = sr_batched(model, lrs, predictor=predictor)
             results.extend(_save_and_score(chunk_files, hrs, lrs, srs,
-                                           output_dir, args.no_comparison))
+                                           output_dir, args.no_comparison,
+                                           no_save=args.no_save))
 
     m_psnr = np.mean([r["model"]["psnr"] for r in results])
     m_ssim = np.mean([r["model"]["ssim"] for r in results])
@@ -201,7 +234,8 @@ def main():
     print("-" * 60)
     print(f"vs bicubic: {m_psnr - b_psnr:+.2f} dB PSNR, {m_ssim - b_ssim:+.4f} SSIM")
     print("=" * 60)
-    print(f"\nResults saved to {output_dir}")
+    if not args.no_save:
+        print(f"\nResults saved to {output_dir}")
 
 
 if __name__ == "__main__":
