@@ -87,8 +87,14 @@ class SRService:
         self.default = next(iter(self.models))
         self.predictors = {}
         self.batchers = {}
+        import jax
+
+        n = len(jax.devices())
+        # the device batch the micro-batcher aims for; predictors must be
+        # compiled at least this large or coalesced cohorts would be chunked
+        # back into device-count-sized forwards
+        mb = (max_batch or 4 * n) if batch_window_ms > 0 else 0
         if dtype and dtype != "f32":
-            import jax
             import jax.numpy as jnp
             from facesr.parallel.serving import ShardedPredictor
 
@@ -96,10 +102,9 @@ class SRService:
             if calib_dir and dtype == "int8_full":
                 calibration = _load_calibration_images(calib_dir)
             jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
-            n = len(jax.devices())
             self.predictors = {
                 name: ShardedPredictor(
-                    m, dtype=jdtype, max_batch=max(n, max_batch or 0),
+                    m, dtype=jdtype, max_batch=max(n, max_batch or 0, mb),
                     calibration=calibration,
                     quant_cache=(
                         f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
@@ -107,16 +112,26 @@ class SRService:
                 for name, m in self.models.items()
             }
         if batch_window_ms > 0:
-            import jax
             import jax.numpy as jnp
             from facesr.parallel.serving import MicroBatcher
 
-            mb = max_batch or 4 * len(jax.devices())
+            def raw_batched(m_):
+                # pad every cohort to the one compiled batch size: the raw
+                # model jit retraces per input shape, and cohort sizes vary
+                # with request arrival — padding keeps ONE compile instead
+                # of a multi-second spike per new size on the hot path
+                def fn(b):
+                    k = b.shape[0]
+                    if k < mb:
+                        b = np.concatenate(
+                            [b, np.repeat(b[-1:], mb - k, axis=0)], axis=0)
+                    return np.clip(np.asarray(m_(jnp.asarray(b))), 0, 1)[:k]
+                return fn
+
             self.batchers = {
                 name: MicroBatcher(
                     (self.predictors[name] if name in self.predictors
-                     else (lambda m_: lambda b: np.clip(
-                         np.asarray(m_(jnp.asarray(b))), 0, 1))(m)),
+                     else raw_batched(m)),
                     max_batch=mb, window_ms=batch_window_ms)
                 for name, m in self.models.items()
             }

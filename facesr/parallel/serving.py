@@ -401,9 +401,17 @@ class MicroBatcher:
                     self._cv.wait()
                 if self._closed and not self._pending:
                     return
-                # linger up to the window for co-arriving requests
+                # linger up to the window for co-arriving requests; count
+                # only items matching the head item's shape — other shapes
+                # dispatch as their own cohorts and must not end this
+                # window early
                 deadline = _time.monotonic() + self.window
-                while (len(self._pending) < self.max_batch and not self._closed):
+                head_shape = self._pending[0]["x"].shape
+                while not self._closed:
+                    n_same = sum(1 for it in self._pending
+                                 if it["x"].shape == head_shape)
+                    if n_same >= self.max_batch:
+                        break
                     remaining = deadline - _time.monotonic()
                     if remaining <= 0:
                         break

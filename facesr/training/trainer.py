@@ -636,12 +636,12 @@ class Trainer:
         # tree to THIS trainer's EMA structure: seed a fresh average from
         # the checkpoint's params when turning EMA on, drop a stored average
         # when it is off.
-        tree_ema = tree.get("ema_params")
-        if self.use_ema and tree_ema is None:
-            tree = dict(tree)
+        tree = dict(tree)
+        if self.use_ema and tree.get("ema_params") is None:
             tree["ema_params"] = jax.tree.map(np.asarray, tree["params"])
-        elif not self.use_ema and tree_ema is not None:
-            tree = dict(tree)
+        elif not self.use_ema:
+            # also INSERTS the key for pre-EMA checkpoints — from_state_dict
+            # requires every TrainState field to be present
             tree["ema_params"] = None
 
         if self.use_gan and not meta.get("use_gan", False):

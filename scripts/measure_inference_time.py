@@ -127,11 +127,28 @@ def main():
 
         tcfg, tparams = load_model(args.transfer_checkpoint, model_type="transfer")
         tparams = jax.tree.map(jnp.asarray, tparams)
+        # same serving precision as the first model — the banner above
+        # applies to both timed blocks
+        t_apply = lambda p, x_, train, dtype: transfer_lib.apply(
+            p, x_, tcfg, train=train, dtype=dtype)
+        if args.int8 and args.calibrate > 0:
+            from facesr.parallel.serving import calibrated_qparams
+
+            calib = np.random.default_rng(1).random(
+                (args.calibrate, args.input_size, args.input_size, 3),
+                dtype=np.float32)
+            tparams = jax.device_put(
+                calibrated_qparams(tparams, t_apply, calib,
+                                   max(args.batch_size, 1)),
+                jax.devices()[0])
+        elif args.int8:
+            from facesr.ops.quant import quantize_conv_kernels
+
+            tparams = quantize_conv_kernels(tparams)
         print(f"\nTransfer Model (from {args.transfer_checkpoint}): "
               f"{tcfg.backbone_blocks} backbone RRDBs + "
               f"{tcfg.head_blocks}-RCAB head")
-        tfwd = jax.jit(lambda p, x_: transfer_lib.apply(
-            p, x_, tcfg, train=False, dtype=dtype).sum())
+        tfwd = jax.jit(lambda p, x_: t_apply(p, x_, False, dtype).sum())
         time_model(tfwd, tparams)
 
 

@@ -387,3 +387,32 @@ def test_ema_trainer_validation_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ema3["conv_first"]["w"]),
         np.asarray(jax.device_get(trainer_plain.state.params)["conv_first"]["w"]))
+
+
+def test_pre_ema_checkpoint_full_resume_without_ema(tmp_path):
+    """Review fix: a checkpoint saved BEFORE the EMA field existed (no
+    'ema_params' key at all) must full-resume into a default (EMA-off)
+    trainer — from_state_dict needs the key inserted."""
+    from facesr.ckpt import load_checkpoint as raw_load, save_checkpoint as raw_save
+
+    trainer = _make_trainer(tmp_path)
+    trainer.train()
+    ckpt = str(tmp_path / "ckpt" / "final_model.fckpt")
+
+    # strip the field to simulate a pre-EMA-era checkpoint
+    tree, meta = raw_load(ckpt)
+    tree.pop("ema_params", None)
+    old_ckpt = str(tmp_path / "old_style.fckpt")
+    raw_save(old_ckpt, tree, meta)
+
+    trainer2 = _make_trainer(tmp_path)
+    trainer2.load_checkpoint(old_ckpt)  # must not raise
+    assert trainer2.current_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer.state.params)["conv_first"]["w"]),
+        np.asarray(jax.device_get(trainer2.state.params)["conv_first"]["w"]))
+
+    # and into an EMA trainer (seeds from params)
+    trainer3 = _make_trainer(tmp_path, ema_decay=0.999)
+    trainer3.load_checkpoint(old_ckpt)
+    assert trainer3.state.ema_params is not None
