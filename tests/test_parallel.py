@@ -409,3 +409,43 @@ def test_calibration_stats_and_attach():
         tree, is_leaf=lambda n: isinstance(n, dict) and "q" in n)
         if isinstance(d, dict) and np.asarray(d["a"]).min() == 1.0]
     assert leaf0  # the sid-0 slice fell back to 1.0
+
+
+def test_spatial_parallel_train_step_matches_single_device():
+    """sp TRAINING (not just serving): the same content train step compiled
+    with the batch's ROWS sharded over the mesh must match the
+    single-device step — XLA SPMD inserts the conv halo exchanges, the
+    bicubic-matmul gathers, and the loss/grad all-reduces. The physical
+    ring is the same `data` axis; what changes is which tensor dimension
+    rides it (large-patch fine-tuning where H, not N, is the big axis)."""
+    from facesr.parallel import row_sharding
+
+    rng = np.random.default_rng(0)
+    hr = rng.random((2, 32, 32, 3), dtype=np.float32)  # batch 2: N not
+    # divisible by the 8-device mesh — rows are the sharded axis
+
+    step1, state1 = _make_step_and_state(mesh=None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh = get_mesh()
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    opt_state = set_learning_rate(tx.init(params), 1e-3)
+    state_sp = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                          opt_state=opt_state, loss_params=loss_fn.params)
+    state_sp = replicate(state_sp, mesh)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                        scale_factor=4, compute_dtype=None)
+    step_sp = jax.jit(step_fn, in_shardings=(replicated(mesh),
+                                             row_sharding(mesh)))
+    hr_rows = jax.device_put(hr, row_sharding(mesh))
+    state_sp, m_sp = step_sp(state_sp, hr_rows)
+
+    assert abs(float(m1["loss"]) - float(m_sp["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
+        np.asarray(jax.device_get(state_sp.params)["conv_last"]["w"]),
+        atol=1e-5)
