@@ -326,6 +326,18 @@ def main():
     print("\n" + "=" * 60)
     print("Starting training...")
     print("=" * 60 + "\n")
+
+    # Preemption safety: TPU pods are routinely preempted with SIGTERM —
+    # route it into the same interrupt-checkpoint path the reference only
+    # wires to Ctrl-C (reference train.py:387-391). The handler re-raises
+    # as KeyboardInterrupt so one code path saves `interrupted.fckpt`.
+    import signal
+
+    def _sigterm(_signum, _frame):
+        raise KeyboardInterrupt("SIGTERM (preemption)")
+
+    prev_sigterm = signal.signal(signal.SIGTERM, _sigterm)
+
     try:
         history = trainer.train()
         print("\n" + "=" * 60)
@@ -334,11 +346,13 @@ def main():
         print(f"\nFinal metrics:")
         print(f"  Best PSNR: {max(history['val_psnr']):.2f} dB")
         print(f"  Best SSIM: {max(history['val_ssim']):.4f}")
-    except KeyboardInterrupt:
-        print("\n\nTraining interrupted by user.")
+    except KeyboardInterrupt as e:
+        print(f"\n\nTraining interrupted ({e or 'user'}).")
         print("Saving checkpoint...")
         trainer.save_checkpoint("interrupted.fckpt")
         print(f"Checkpoint saved to {trainer_config.checkpoint_dir}/interrupted.fckpt")
+    finally:
+        signal.signal(signal.SIGTERM, prev_sigterm)
 
 
 if __name__ == "__main__":
