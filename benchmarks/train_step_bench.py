@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quant every conv "
                         "on the int8 serving grid (STE)")
+    p.add_argument("--qat-static", action="store_true",
+                   help="QAT on STATIC activation scales (synthetic values — "
+                        "compiled speed is scale-independent): no per-conv "
+                        "activation max-reduce in the step")
     p.add_argument("--ema", type=float, default=0.0,
                    help="EMA decay (> 0 maintains the generator average "
                         "inside the step)")
@@ -76,12 +80,17 @@ def main() -> None:
 
     compute_dtype = None if args.f32 else jnp.bfloat16
     model_apply = lambda p_, x, train, dtype: fen.apply(p_, x, cfg, train=train, dtype=dtype)
-    if args.qat:
-        from facesr.ops.quant import fake_quant_params
+    if args.qat or args.qat_static:
+        from facesr.ops.quant import (
+            attach_act_scales, fake_quant_params, quantize_conv_kernels)
 
+        act_scales = None
+        if args.qat_static:
+            qp_sid, n_sites = quantize_conv_kernels(params, with_sids=True)
+            act_scales = attach_act_scales(qp_sid, np.full(n_sites, 2.0))
         _base_apply = model_apply
         model_apply = lambda p_, x, train, dtype: _base_apply(
-            fake_quant_params(p_), x, train=train, dtype=dtype)
+            fake_quant_params(p_, act_scales=act_scales), x, train=train, dtype=dtype)
     ema_params = (jax.tree.map(lambda x: jnp.array(x), params)
                   if args.ema > 0 else None)
     loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype,
@@ -143,7 +152,8 @@ def main() -> None:
     ms = dt / args.steps * 1e3
     rate = args.batch * args.steps / dt
     print(f"batch {args.batch}{" GAN" if args.gan else ""}"
-          f"{' QAT' if args.qat else ''}{f' ema={args.ema}' if args.ema else ''} "
+          f"{' QAT' if args.qat else ''}{' QAT-static' if args.qat_static else ''}"
+          f"{f' ema={args.ema}' if args.ema else ''} "
           f"remat={args.remat} vgg_remat={args.vgg_remat} "
           f"dtype={'f32' if args.f32 else 'bf16'}: "
           f"{ms:.1f} ms/step, {rate:.1f} img/s/chip "

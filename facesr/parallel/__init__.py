@@ -5,6 +5,7 @@ from facesr.parallel.mesh import (
     replicated,
     batch_sharding,
     row_sharding,
+    tp_param_shardings,
     shard_batch,
     replicate,
     pad_to_multiple,
@@ -15,6 +16,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "row_sharding",
+    "tp_param_shardings",
     "shard_batch",
     "replicate",
     "pad_to_multiple",

@@ -23,6 +23,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "row_sharding",
+    "tp_param_shardings",
     "shard_batch",
     "replicate",
     "pad_to_multiple",
@@ -57,6 +58,37 @@ def row_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     axis is the same physical `data` ring — what changes is which tensor
     dimension rides it."""
     return NamedSharding(mesh, P(None, axis))
+
+
+def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Tensor-parallel sharding tree: conv kernels sharded over their
+    OUTPUT-channel axis, matching 1-D biases/PReLU alphas sharded too;
+    everything else (SE attention, narrow heads like conv_last's 3
+    outputs) replicated. XLA SPMD then partitions every conv's output
+    channels across the mesh and inserts the input all-gathers /
+    channel-concat collectives — params memory (and conv FLOPs) divide by
+    the mesh size, the tp axis for models too large to replicate. For
+    facesr's 4.9M-param flagship this is a capability (memory) axis, not
+    a speed axis — dp/sp remain the production shardings (BENCH.md).
+
+    Uses the same attention-path exclusion as the int8 transforms so the
+    tiny SE bottlenecks (width C/r, often indivisible) stay replicated.
+    """
+    n = int(np.prod(mesh.devices.shape))
+
+    def rule(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if any(k == "ca" or k.startswith("fc") for k in keys):
+            return NamedSharding(mesh, P())
+        shape = np.shape(leaf)
+        if len(shape) >= 4 and shape[-1] % n == 0:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        if len(shape) == 1 and shape[0] % n == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return treedef.unflatten([rule(p, l) for p, l in flat])
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:

@@ -449,3 +449,36 @@ def test_spatial_parallel_train_step_matches_single_device():
         np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
         np.asarray(jax.device_get(state_sp.params)["conv_last"]["w"]),
         atol=1e-5)
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """tp: conv kernels sharded over their OUTPUT channels (params memory
+    and conv FLOPs divide by the mesh) must produce the replicated
+    forward's output — XLA SPMD inserts the channel collectives. The tp
+    tree shards the wide trunk (64ch kernels, biases, PReLU alphas) and
+    replicates SE bottlenecks and the 3-channel conv_last."""
+    from facesr.parallel import tp_param_shardings
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5), params["conv_last"]["w"].shape) * 0.05
+    )
+
+    mesh = get_mesh()
+    shardings = tp_param_shardings(params, mesh)
+    # trunk kernels sharded on O; conv_last (3 outputs) and SE replicated
+    from jax.sharding import PartitionSpec as P
+    assert shardings["conv_first"]["w"].spec == P(None, None, None, "data")
+    assert shardings["conv_last"]["w"].spec == P()
+    assert shardings["groups"]["rcab"]["ca"]["fc1_w"].spec == P()
+    assert shardings["conv_first"]["b"].spec == P("data")
+
+    params_tp = jax.device_put(params, shardings)
+    x = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 3), dtype=np.float32))
+
+    fwd = jax.jit(lambda p, x_: fen.apply(p, x_, cfg, train=False),
+                  in_shardings=(shardings, replicated(mesh)))
+    got = np.asarray(fwd(params_tp, jax.device_put(x, replicated(mesh))))
+    want = np.asarray(fen.apply(params, x, cfg, train=False))
+    np.testing.assert_allclose(got, want, atol=2e-5)
