@@ -512,6 +512,14 @@ class Trainer:
                 wandb.log({f"train/{k}": v for k, v in metrics_host.items()}
                           | {"train/step": self.global_step})
 
+        if num_batches == 0:
+            # batch_size > dataset with drop_last yields silent zero-step
+            # "epochs" (loss 0.0) — make the misconfiguration loud
+            print("WARNING: train loader yielded 0 batches this epoch — "
+                  "is batch_size larger than the training split "
+                  "(drop_last removes the only partial batch)? "
+                  "No optimization happened.")
+
         totals: Dict[str, float] = {}
         for metrics in pending:
             for k, v in metrics.items():
