@@ -361,3 +361,52 @@ def test_qat_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
         np.asarray(jax.device_get(state8.params)["conv_last"]["w"]), atol=1e-6)
+
+
+def test_trainer_qat_ema_gan_combo(tmp_path):
+    """Interaction lock: QAT + EMA + GAN in one Trainer — the adversarial
+    step trains through the fake-quant forward while maintaining the EMA,
+    and the checkpoint serves the EMA weights."""
+    from facesr.losses import combined as fc
+    from facesr.models import discriminator as disc_lib
+    from facesr.training import Trainer, TrainerConfig
+    from facesr.ckpt import load_model
+
+    class FakeLoader:
+        def __init__(self, n=2, batch=8, size=32, seed=0):
+            rng = np.random.default_rng(seed)
+            self.batches = [{"hr": rng.random((batch, size, size, 3),
+                                              dtype=np.float32)}
+                            for _ in range(n)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+    small = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                     blocks_per_group=2)
+    model = fen.FaceEnhanceNet(small)
+    dcfg, dparams, dstats = disc_lib.create_discriminator(
+        input_size=32, base_channels=8)
+    cfg = TrainerConfig(
+        epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        save_every=100, scheduler_T_max=1, gan_weight=0.01,
+        qat=True, ema_decay=0.5,
+    )
+    trainer = Trainer(model, FakeLoader(), FakeLoader(seed=1),
+                      fc.create_loss_function(l1_weight=1.0), config=cfg,
+                      discriminator=(dcfg, dparams, dstats))
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    assert "d_loss" in history and np.isfinite(history["d_loss"][0])
+
+    # EMA differs from raw params (decay .5 over 2 steps) and is served
+    ema = jax.device_get(trainer.state.ema_params)["conv_first"]["w"]
+    raw = jax.device_get(trainer.state.params)["conv_first"]["w"]
+    assert not np.array_equal(np.asarray(ema), np.asarray(raw))
+    _, served = load_model(str(tmp_path / "ckpt" / "final_model.fckpt"))
+    np.testing.assert_array_equal(np.asarray(served["conv_first"]["w"]),
+                                  np.asarray(ema))
