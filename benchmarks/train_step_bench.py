@@ -91,8 +91,7 @@ def main() -> None:
         _base_apply = model_apply
         model_apply = lambda p_, x, train, dtype: _base_apply(
             fake_quant_params(p_, act_scales=act_scales), x, train=train, dtype=dtype)
-    ema_params = (jax.tree.map(lambda x: jnp.array(x), params)
-                  if args.ema > 0 else None)
+    ema_params = steps_lib.init_ema(params) if args.ema > 0 else None
     loss_apply = lambda lp, p_, t: loss_fn.apply(lp, p_, t, compute_dtype=compute_dtype,
                                                  vgg_remat=vgg_remat)
     if args.gan:

@@ -247,15 +247,12 @@ def upsample(stages: list[Params], x: jax.Array, next_w=None,
     3-channel result instead, eliminating the full-size feature-map
     transpose copies (~17% of the serving step in the round-2 trace)."""
     from facesr.ops.conv import quantize_act
+    from facesr.ops.quant import is_int8_kernel
 
     for i, sp in enumerate(stages):
         y = conv2d(x, sp["conv_w"], sp["conv_b"], padding=1)
         nxt = stages[i + 1]["conv_w"] if i + 1 < len(stages) else next_w
-        if (isinstance(nxt, dict) and "a" in nxt and "q" in nxt
-                and jnp.issubdtype(y.dtype, jnp.floating)):
-            # ("q" guard: a QAT {"fq","a"} kernel must NOT take the packed
-            # int8 path — its quantize lives inside the fake-quant conv,
-            # with straight-through gradients)
+        if is_int8_kernel(nxt) and jnp.issubdtype(y.dtype, jnp.floating):
             y = prelu(y, jnp.repeat(sp["prelu_a"], 4))
             y = quantize_act(y, nxt["a"])
             if keep_last_packed and i + 1 == len(stages):

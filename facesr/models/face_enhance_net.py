@@ -126,8 +126,9 @@ def apply(
     # bit-identical (integer accumulation commutes) but skips the
     # depth-to-space transpose copies of the full-size s8 feature map; the
     # shuffle runs on the 12-channel conv output instead (BENCH.md).
-    use_subpixel = (isinstance(w_last, dict) and "a" in w_last
-                    and "q" in w_last  # int8 serving only, not QAT fq dicts
+    from facesr.ops.quant import is_int8_kernel
+
+    use_subpixel = (is_int8_kernel(w_last)
                     and cfg.kernel_size == 3 and cfg.scale_factor in (2, 4))
     feat = blocks.upsample(params["upsample"], feat, next_w=w_last,
                            keep_last_packed=use_subpixel)

@@ -138,8 +138,9 @@ def apply(params: Params, x: jax.Array, cfg: TransferModelConfig = TransferModel
     w_last, b_last = hd["conv_last"]["w"], hd["conv_last"]["b"]
     # int8 serving: consume the packed upsample output with the
     # subpixel-repacked conv_last (bit-exact; see face_enhance_net.apply).
-    use_subpixel = (isinstance(w_last, dict) and "a" in w_last
-                    and "q" in w_last)  # int8 serving only, not QAT fq dicts
+    from facesr.ops.quant import is_int8_kernel
+
+    use_subpixel = is_int8_kernel(w_last)
     feat = blocks_lib.upsample(hd["upsample"], feat, next_w=w_last,
                                keep_last_packed=use_subpixel)
     if use_subpixel and feat.dtype == jnp.int8:

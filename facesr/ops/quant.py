@@ -22,7 +22,16 @@ import jax.numpy as jnp
 
 __all__ = ["quantize_pytree", "dequantize_pytree", "quantize_conv_kernels",
            "quantization_summary", "collecting_act_stats", "attach_act_scales",
-           "calibrate_act_scales", "fake_quant_params"]
+           "calibrate_act_scales", "fake_quant_params", "is_int8_kernel"]
+
+
+def is_int8_kernel(w) -> bool:
+    """True for a REAL quantized serving kernel `{"q", "scale"[, "a"]}` —
+    the predicate the packed-layout / subpixel serving rewrites key on. A
+    QAT `{"fq"[, "a"]}` dict is NOT one: its quantize lives inside the
+    fake-quant conv with straight-through gradients and must take the
+    plain float path."""
+    return isinstance(w, dict) and "q" in w and "a" in w
 
 # Leaves smaller than this stay f32: per-channel scales on tiny tensors
 # (PReLU alphas, biases, SE bottlenecks) cost accuracy for ~no footprint.

@@ -10,6 +10,8 @@ batches are padded to a mesh multiple and trimmed after.
 from __future__ import annotations
 
 import os
+import threading
+import time
 from typing import Callable, Optional
 
 import numpy as np
@@ -339,8 +341,6 @@ class MicroBatcher:
     """
 
     def __init__(self, fn: Callable, max_batch: int = 8, window_ms: float = 5.0):
-        import threading
-
         self.fn = fn
         self.max_batch = max(1, int(max_batch))
         self.window = max(0.0, float(window_ms)) / 1000.0
@@ -357,8 +357,6 @@ class MicroBatcher:
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         """Submit one HWC image; blocks until its SR result is ready."""
-        import threading
-
         item = {"x": np.asarray(image), "out": None, "err": None,
                 "done": threading.Event()}
         with self._cv:
@@ -393,8 +391,6 @@ class MicroBatcher:
         return cohort
 
     def _loop(self) -> None:
-        import time as _time
-
         while True:
             with self._cv:
                 while not self._pending and not self._closed:
@@ -405,14 +401,14 @@ class MicroBatcher:
                 # only items matching the head item's shape — other shapes
                 # dispatch as their own cohorts and must not end this
                 # window early
-                deadline = _time.monotonic() + self.window
+                deadline = time.monotonic() + self.window
                 head_shape = self._pending[0]["x"].shape
                 while not self._closed:
                     n_same = sum(1 for it in self._pending
                                  if it["x"].shape == head_shape)
                     if n_same >= self.max_batch:
                         break
-                    remaining = deadline - _time.monotonic()
+                    remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)

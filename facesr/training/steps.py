@@ -30,7 +30,8 @@ from flax import struct
 from facesr.ops import bicubic_down
 from facesr.losses.gan import gan_loss
 
-__all__ = ["TrainState", "make_train_step", "make_gan_train_step", "make_eval_step", "set_learning_rate"]
+__all__ = ["TrainState", "make_train_step", "make_gan_train_step",
+           "make_eval_step", "set_learning_rate", "init_ema"]
 
 
 @struct.dataclass
@@ -54,6 +55,13 @@ def _ema_update(ema: Any, params: Any, decay: float) -> Any:
     return jax.tree.map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
     )
+
+
+def init_ema(params: Any) -> Any:
+    """Fresh EMA tree seeded from `params` — COPIES every leaf (jnp.array,
+    not asarray): the jitted step donates the whole TrainState, and an EMA
+    aliasing the params buffers would be donated twice (an error)."""
+    return jax.tree.map(lambda x: jnp.array(x), params)
 
 
 def set_learning_rate(opt_state: Any, lr: float) -> Any:

@@ -291,11 +291,7 @@ class Trainer:
             d_opt_state = set_learning_rate(d_opt_state, self.config.d_learning_rate)
 
         self.use_ema = self.config.ema_decay > 0
-        # jnp.array (copy) — NOT asarray: the EMA must not alias the params
-        # buffers (the jitted step donates the whole state, and donating the
-        # same buffer twice is an error).
-        ema_params = (jax.tree.map(lambda x: jnp.array(x), model.params)
-                      if self.use_ema else None)
+        ema_params = steps_lib.init_ema(model.params) if self.use_ema else None
         self.state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=model.params,
@@ -629,9 +625,8 @@ class Trainer:
             params = serialization.from_state_dict(
                 jax.device_get(self.state.params), tree["params"]
             )
-            # EMA restarts from the loaded weights (fresh stage, fresh
-            # average); copy — must not alias the params buffers (donation)
-            ema = jax.tree.map(lambda x: jnp.array(x), params) if self.use_ema else None
+            # EMA restarts from the loaded weights (fresh stage, fresh average)
+            ema = steps_lib.init_ema(params) if self.use_ema else None
             self.state = self.state.replace(params=replicate(params, self.mesh),
                                             ema_params=replicate(ema, self.mesh)
                                             if ema is not None else None)
