@@ -352,7 +352,8 @@ def main():
         trainer.save_checkpoint("interrupted.fckpt")
         print(f"Checkpoint saved to {trainer_config.checkpoint_dir}/interrupted.fckpt")
     finally:
-        signal.signal(signal.SIGTERM, prev_sigterm)
+        if prev_sigterm is not None:  # None = handler installed by C code
+            signal.signal(signal.SIGTERM, prev_sigterm)
 
 
 if __name__ == "__main__":
