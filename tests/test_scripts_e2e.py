@@ -262,3 +262,36 @@ def test_sigterm_saves_interrupt_checkpoint(workdir, tmp_path):
     assert rc == 0, out[-2000:]
     assert "SIGTERM" in out, out[-2000:]
     assert (tmp_path / "ckpt_sig" / "interrupted.fckpt").exists()
+
+
+def test_train_qat_scales_cli(workdir, tmp_path):
+    """CLI loop: export a calibrated int8 artifact, then QAT-fine-tune the
+    checkpoint pinned to that artifact's static serving grid
+    (--qat-scales); the guard rejects the flag without training.qat."""
+    art = tmp_path / "qat.int8.fckpt"
+    run(["scripts/export_quantized.py",
+         "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+         "--calib-dir", str(workdir / "processed" / "val" / "HR"),
+         "--calib-hr", "--num-images", "2",
+         "--output", str(art), "--platform", "cpu"])
+
+    cfg = (workdir / "cfg.yaml").read_text()
+    cfg = cfg.replace("  epochs: 1", "  epochs: 1\n  qat: true")
+    cfg = cfg.replace(str(workdir / "ckpt"), str(tmp_path / "ckpt_qs"))
+    (tmp_path / "qs_cfg.yaml").write_text(cfg)
+
+    out = run(["scripts/train.py", "--config", str(tmp_path / "qs_cfg.yaml"),
+               "--no-wandb", "--yes", "--platform", "cpu",
+               "--resume", str(workdir / "ckpt" / "best_model.fckpt"),
+               "--fine-tune", "--qat-scales", str(art)])
+    assert "QAT pinned to calibrated activation scales" in out
+    assert (tmp_path / "ckpt_qs" / "final_model.fckpt").exists()
+
+    # guard: --qat-scales without training.qat refuses
+    proc = subprocess.run(
+        [sys.executable, "scripts/train.py", "--config",
+         str(workdir / "cfg.yaml"), "--no-wandb", "--yes", "--platform",
+         "cpu", "--qat-scales", str(art)],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "requires training.qat" in (proc.stderr + proc.stdout)
