@@ -22,15 +22,26 @@ import numpy as np
 __all__ = ["sr_batched", "synthesize_lr_batched", "make_predictor"]
 
 
+import functools
+
+
+@functools.cache
+def _jitted_down():
+    """One jitted bicubic-down per process: a fresh jax.jit wrapper per
+    call would key a fresh compile cache (recompiles per call)."""
+    import jax
+    from facesr.ops import bicubic_down
+
+    return jax.jit(bicubic_down, static_argnums=1)
+
+
 def synthesize_lr_batched(hr_uint8_list: Sequence[np.ndarray], scale: int,
                           chunk: int = 32) -> List[np.ndarray]:
     """Trainer-matched LR synthesis (PyTorch-parity bicubic x1/scale) for a
     list of HWC uint8 images; batches same-shaped images per chunk."""
-    import jax
     import jax.numpy as jnp
-    from facesr.ops import bicubic_down
 
-    down = jax.jit(bicubic_down, static_argnums=1)
+    down = _jitted_down()
     out: List[Optional[np.ndarray]] = [None] * len(hr_uint8_list)
     for idxs in _groups_by_shape(hr_uint8_list).values():
         for start in range(0, len(idxs), chunk):

@@ -26,11 +26,12 @@ __all__ = ["quantize_pytree", "dequantize_pytree", "quantize_conv_kernels",
 
 
 def is_int8_kernel(w) -> bool:
-    """True for a REAL quantized serving kernel `{"q", "scale"[, "a"]}` —
-    the predicate the packed-layout / subpixel serving rewrites key on. A
-    QAT `{"fq"[, "a"]}` dict is NOT one: its quantize lives inside the
-    fake-quant conv with straight-through gradients and must take the
-    plain float path."""
+    """True for a CALIBRATED int8 serving kernel `{"q", "scale", "a"}` —
+    the predicate the packed-layout / subpixel serving rewrites key on;
+    both requirements are load-bearing: the rewrites read `w["q"]` (to
+    repack the integer kernel) AND `w["a"]` (to quantize the producer onto
+    this conv's static grid). Dynamic-scale dicts (no "a") and QAT
+    `{"fq"[, "a"]}` dicts take the plain paths."""
     return isinstance(w, dict) and "q" in w and "a" in w
 
 # Leaves smaller than this stay f32: per-channel scales on tiny tensors
@@ -62,10 +63,16 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
     """(q_tree, scale_tree): int8 leaves + per-output-channel scales.
 
     Non-quantizable leaves pass through unchanged with a scalar 1.0 scale
-    so both trees keep the params structure (jit-friendly)."""
-    def qs(leaf):
+    so both trees keep the params structure (jit-friendly). Channel-
+    attention (`ca`/`fc*`) leaves stay float like the full-int8 path: the
+    SE bottleneck matrices clear the size gate (e.g. [64, 8] = 512 elems)
+    but gate the whole block through a sigmoid — accuracy risk for ~1KB
+    of footprint."""
+    def qs(path, leaf):
         leaf = jnp.asarray(leaf)
-        if not _quantizable(leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if (any(k == "ca" or k.startswith("fc") for k in keys)
+                or not _quantizable(leaf)):
             return leaf, jnp.asarray(1.0, jnp.float32)
         f = leaf.astype(jnp.float32)
         axes = tuple(range(leaf.ndim - 1))
@@ -74,9 +81,10 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
         q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
         return q, scale
 
-    pairs = jax.tree.map(qs, params)
-    return (jax.tree.map(lambda p: p[0], pairs, is_leaf=lambda n: isinstance(n, tuple)),
-            jax.tree.map(lambda p: p[1], pairs, is_leaf=lambda n: isinstance(n, tuple)))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    pairs = [qs(p, l) for p, l in flat]
+    return (treedef.unflatten([q for q, _ in pairs]),
+            treedef.unflatten([s for _, s in pairs]))
 
 
 def quantize_conv_kernels(params: Any, with_sids: bool = False):
@@ -176,6 +184,13 @@ def fake_quant_params(params: Any, act_scales: Any = None) -> Any:
         if not (isinstance(q_leaf, dict) and "a" in q_leaf):
             raise ValueError(
                 f"act_scales has no calibrated scale at {jax.tree_util.keystr(path)}")
+        if tuple(q_leaf["q"].shape) != tuple(leaf.shape):
+            # count-matching trees from a different-width model would
+            # otherwise broadcast silently (the 'a' leaves are [...,1,1,1,1])
+            raise ValueError(
+                f"act_scales was calibrated on a different architecture: "
+                f"kernel {tuple(q_leaf['q'].shape)} vs params "
+                f"{tuple(leaf.shape)} at {jax.tree_util.keystr(path)}")
         out.append({"fq": leaf, "a": jnp.asarray(q_leaf["a"])})
     return treedef.unflatten(out)
 
@@ -264,6 +279,11 @@ def calibrate_act_scales(params: Any, forward_fn, batches, margin: float = 1.0) 
     with collecting_act_stats(n_sites) as stats:
         for batch in batches:
             jax.block_until_ready(forward_fn(qp, jnp.asarray(batch)))
+        # block_until_ready waits on output buffers, NOT host-callback side
+        # effects: without this barrier, in-flight ordered=False callbacks
+        # from the last batch could land after the window closes and be
+        # dropped by the stale-callback guard — silently undersized scales.
+        jax.effects_barrier()
     if not np.any(stats > 0):
         raise RuntimeError(
             "calibration recorded no activation statistics — did the "
@@ -284,12 +304,31 @@ def dequantize_pytree(q_tree: Any, scale_tree: Any, dtype=jnp.bfloat16) -> Any:
 
 
 def quantization_summary(q_tree: Any) -> dict:
-    leaves = jax.tree.leaves(q_tree)
-    q_bytes = sum(l.size for l in leaves if l.dtype == jnp.int8)
-    f_bytes = sum(l.size * l.dtype.itemsize for l in leaves if l.dtype != jnp.int8)
-    orig = sum(l.size * 4 for l in leaves)
+    """Footprint summary for a quantized tree (weight-only q_tree or a
+    quantize_conv_kernels tree). Sidecar leaves — per-channel scales,
+    calibrated "a" arrays, int32 sids — count toward `bytes` (they ship
+    with the model) but NOT toward the `bytes_f32` baseline, which is the
+    original float tree's size."""
+    leaves = jax.tree_util.tree_leaves_with_path(q_tree)
+
+    def is_sidecar(path):
+        last = str(getattr(path[-1], "key", getattr(path[-1], "idx", "")))
+        return last in ("scale", "a", "sid")
+
+    q_bytes = f_bytes = orig = 0
+    n_q = 0
+    for path, l in leaves:
+        side = is_sidecar(path)
+        if l.dtype == jnp.int8:
+            q_bytes += l.size
+            n_q += 1
+            orig += l.size * 4
+        else:
+            f_bytes += l.size * l.dtype.itemsize
+            if not side:
+                orig += l.size * 4
     return {
-        "quantized_leaves": sum(1 for l in leaves if l.dtype == jnp.int8),
+        "quantized_leaves": n_q,
         "total_leaves": len(leaves),
         "bytes": q_bytes + f_bytes,
         "bytes_f32": orig,

@@ -71,6 +71,13 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
     if cache_path and os.path.exists(cache_path):
         return load_calibrated_qparams(params, cache_path)
 
+    if calibration is None or len(np.atleast_1d(calibration)) == 0:
+        raise ValueError(
+            "calibrated_qparams needs calibration images (none given"
+            + (f" and cache {cache_path!r} does not exist" if cache_path
+               else "") + ") — pass a [N,H,W,3] float batch; small images "
+            "are fine, the scales are per-site scalars")
+
     calib = np.asarray(calibration, np.float32)
     n = min(max_batch, len(calib))
     chunks = []
@@ -155,8 +162,12 @@ class SpatialPredictor:
 
             if calibration is not None or (
                     quant_cache and os.path.exists(quant_cache)):
+                # batch-1 calibration forwards: this class exists for
+                # inputs too large to batch on one chip — don't require
+                # the calibration pass to. Pass SMALL calibration images
+                # (the scales are per-site scalars, resolution-free).
                 self._host_params = calibrated_qparams(
-                    model.params, apply_fn, calibration, 8,
+                    model.params, apply_fn, calibration, 1,
                     cache_path=quant_cache)
             else:
                 self._host_params = quantize_conv_kernels(model.params)
@@ -266,7 +277,7 @@ class ShardedPredictor:
             # Weights AND activations int8: convs run on the MXU's s8 pipe
             # (2x the bf16 conv rate on v5e — BENCH.md); elementwise tail
             # stays bf16. Larger quality delta than weight-only "int8".
-            from facesr.ops.quant import calibrate_act_scales, quantize_conv_kernels
+            from facesr.ops.quant import quantize_conv_kernels
 
             if calibration is not None or (
                     quant_cache and os.path.exists(quant_cache)):
@@ -301,7 +312,8 @@ class ShardedPredictor:
         Chunks are software-pipelined (depth 2): dispatch is async under
         JAX, so chunk i+1's upload + forward overlap chunk i's
         device->host result transfer instead of serializing on it. Depth
-        is capped so at most two chunk outputs are live on device."""
+        is capped (pipeline depth 3: a chunk drains once two newer ones are
+        in flight) to bound live chunk outputs on device."""
         images = np.asarray(images, np.float32)
         outs = []
         in_flight: list = []  # [(device result, valid_count)]
