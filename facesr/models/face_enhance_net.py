@@ -59,7 +59,15 @@ class FaceEnhanceNetConfig:
 
     def replace(self, **kwargs) -> "FaceEnhanceNetConfig":
         d = asdict(self)
-        d.update({k: v for k, v in kwargs.items() if k in d})
+        if "upscale_factor" in kwargs:  # reference YAML spelling
+            kwargs["scale_factor"] = kwargs.pop("upscale_factor")
+        unknown = set(kwargs) - set(d)
+        if unknown:
+            # silent dropping turned typos into wrong architectures; the
+            # reference's dataclass constructor raises too (custom.py:77-80)
+            raise TypeError(f"Unknown FaceEnhanceNetConfig field(s): "
+                            f"{sorted(unknown)}")
+        d.update(kwargs)
         return FaceEnhanceNetConfig(**d)
 
 

@@ -360,6 +360,8 @@ class Trainer:
         self.checkpoint_dir = Path(self.config.checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         self._warned_pad = False
+        self._warned_trim = False
+        self._last_val_batches = 1
         self.best_metric: Optional[float] = None
         self.current_epoch = 0
         self.global_step = 0
@@ -407,7 +409,9 @@ class Trainer:
         )
 
     def _set_lr(self, lr: float) -> None:
-        if abs(lr - self.current_lr) > 1e-12:
+        # current_lr None = unknown (e.g. right after a full resume, where
+        # the restored opt_state carries the CHECKPOINT's LR): always apply.
+        if self.current_lr is None or abs(lr - self.current_lr) > 1e-12:
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, lr)
             )
@@ -423,6 +427,12 @@ class Trainer:
         rem = n % self.n_devices
         if rem:
             if n >= self.n_devices:
+                if not self._warned_trim:
+                    print(f"Warning: batch of {n} trimmed to "
+                          f"{n - rem} for the {self.n_devices}-device mesh "
+                          f"({rem} samples dropped per batch — pick a "
+                          "batch_size divisible by the device count)")
+                    self._warned_trim = True
                 hr = hr[: n - rem]
             else:
                 if not self._warned_pad:
@@ -451,7 +461,7 @@ class Trainer:
             train_metrics = self._train_epoch()
             val_metrics = self._validate_epoch()
 
-            if self.plateau is not None:
+            if self.plateau is not None and self._last_val_batches > 0:
                 self.plateau.step(val_metrics["psnr"])
 
             self._log_epoch_metrics(epoch, train_metrics, val_metrics, self.current_lr)
@@ -461,12 +471,13 @@ class Trainer:
 
             metric_key = self.config.early_stopping_metric.replace("val_", "")
             metric_value = val_metrics.get(metric_key, val_metrics.get("psnr", 0.0))
-            if self.config.save_best and self._is_best(metric_value):
-                self.save_checkpoint("best_model.fckpt", is_best=True)
+            if self._last_val_batches > 0:  # zero-batch val = garbage metrics
+                if self.config.save_best and self._is_best(metric_value):
+                    self.save_checkpoint("best_model.fckpt", is_best=True)
 
-            if self.early_stopping(metric_value):
-                print(f"\nEarly stopping triggered at epoch {epoch + 1}")
-                break
+                if self.early_stopping(metric_value):
+                    print(f"\nEarly stopping triggered at epoch {epoch + 1}")
+                    break
 
         self.save_checkpoint("final_model.fckpt")
         if self.use_wandb:
@@ -517,7 +528,9 @@ class Trainer:
                   "No optimization happened.")
 
         totals: Dict[str, float] = {}
-        for metrics in pending:
+        # ONE host transfer for the whole epoch's metric scalars — a
+        # float(v) per scalar would round-trip the tunnel per value
+        for metrics in jax.device_get(pending):
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
 
@@ -539,6 +552,12 @@ class Trainer:
             if batch_idx == 0:
                 sample = (np.asarray(lr_img[:8]), np.asarray(sr[:8]), np.asarray(hr[:8]))
 
+        self._last_val_batches = num_batches
+        if num_batches == 0:
+            print("WARNING: val loader yielded 0 batches — all validation "
+                  "metrics are 0.0 and best-model selection / early "
+                  "stopping are skipped this epoch. Is the val split "
+                  "smaller than the batch size?")
         metrics = {k: v / max(num_batches, 1) for k, v in totals.items()}
         if sample is not None:
             try:
@@ -564,8 +583,13 @@ class Trainer:
         self.training_history["val_psnr"].append(val_metrics["psnr"])
         self.training_history["val_ssim"].append(val_metrics["ssim"])
         self.training_history["learning_rate"].append(lr)
-        if self.use_gan and "d_loss" in train_metrics:
-            self.training_history["d_loss"].append(train_metrics["d_loss"])
+        if self.use_gan:
+            # append every epoch (0.0 during pre-GAN warmup epochs) so the
+            # GAN series stay index-aligned with train_loss/val_psnr — a
+            # gan_start_epoch > 0 would otherwise shift every plotted GAN
+            # curve left by the warmup length (plot_training_stages plots
+            # each list against its own index)
+            self.training_history["d_loss"].append(train_metrics.get("d_loss", 0.0))
             self.training_history["g_loss"].append(train_metrics.get("g_adv", 0.0))
             self.training_history["d_real"].append(train_metrics.get("d_real", 0.0))
             self.training_history["d_fake"].append(train_metrics.get("d_fake", 0.0))
@@ -663,6 +687,10 @@ class Trainer:
         else:
             restored = serialization.from_state_dict(jax.device_get(self.state), tree)
         self.state = replicate(restored, self.mesh)
+        # the restored opt_state carries the checkpoint's LR; mark ours
+        # unknown so the first epoch's _set_lr unconditionally applies the
+        # schedule instead of skipping on a stale equality check
+        self.current_lr = None
         self.current_epoch = meta["epoch"] + 1
         self.global_step = meta["global_step"]
         self.best_metric = meta["best_metric"]
@@ -684,7 +712,9 @@ def overfit_test(
     """Overfit sanity harness (reference trainer.py:763-848): overfit
     `num_images` HR crops with pure MSE; converged iff final PSNR > 35 dB.
     The SR output is clamped to [0,1] *before* the loss, as in the reference
-    (trainer.py:819)."""
+    (trainer.py:819). `loss_fn` is accepted for signature parity but — like
+    the reference ("Use pure MSE for overfitting test", trainer.py:790) —
+    deliberately unused: the harness optimizes PSNR directly."""
     print(f"\nOverfitting test on {num_images} images...")
     mesh = mesh if mesh is not None else get_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
