@@ -32,6 +32,26 @@ from facesr.data.loader import DataLoader
 
 __all__ = ["ImageCache", "FFHQDataset", "get_dataloader"]
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _list_images(d: Path) -> List[Path]:
+    """All images in `d`, every supported extension, case-insensitive,
+    one sorted listing (an `or`-chain of per-extension globs would drop
+    every .jpg the moment a single .png exists)."""
+    return sorted(p for p in d.iterdir()
+                  if p.suffix.lower() in _IMAGE_EXTS)
+
+
+def _read_rgb(path: Path) -> np.ndarray:
+    """cv2.imread with an actionable error: a corrupt/unreadable file
+    returns None, which would otherwise crash in cvtColor deep inside a
+    loader worker with no filename."""
+    img = cv2.imread(str(path))
+    if img is None:
+        raise IOError(f"Could not decode image {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
 
 class ImageCache:
     """Thread-safe LRU cache for decoded image pairs."""
@@ -165,12 +185,11 @@ class FFHQDataset:
         if not hr_dir.exists():
             raise ValueError(f"Could not find HR directory in {self.data_root}")
 
-        self.hr_files = sorted(hr_dir.glob("*.png")) or sorted(hr_dir.glob("*.jpg"))
+        self.hr_files = _list_images(hr_dir)
         if not self.hr_files:
             raise ValueError(f"No images found in {hr_dir}")
 
-        lr_listing = (sorted(lr_dir.glob("*.png")) or sorted(lr_dir.glob("*.jpg"))) \
-            if lr_dir.exists() else []
+        lr_listing = _list_images(lr_dir) if lr_dir.exists() else []
         if not lr_listing:
             if self.generate_lr_on_the_fly:
                 self.hr_only_mode = True
@@ -208,15 +227,13 @@ class FFHQDataset:
         skips the LR synthesis/read that _load_images would discard)."""
         if self.use_hdf5:
             return np.asarray(self._h5()["HR"][idx])
-        hr_image = cv2.imread(str(self.hr_files[idx]))
-        return cv2.cvtColor(hr_image, cv2.COLOR_BGR2RGB)
+        return _read_rgb(self.hr_files[idx])
 
     def _load_images(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.use_hdf5:
             f = self._h5()
             return np.asarray(f["HR"][idx]), np.asarray(f["LR"][idx])
-        hr_image = cv2.imread(str(self.hr_files[idx]))
-        hr_image = cv2.cvtColor(hr_image, cv2.COLOR_BGR2RGB)
+        hr_image = _read_rgb(self.hr_files[idx])
         if self.hr_only_mode:
             h, w = hr_image.shape[:2]
             lr_image = cv2.resize(
@@ -224,8 +241,7 @@ class FFHQDataset:
                 interpolation=cv2.INTER_CUBIC,
             )
         else:
-            lr_image = cv2.imread(str(self.lr_files[idx]))
-            lr_image = cv2.cvtColor(lr_image, cv2.COLOR_BGR2RGB)
+            lr_image = _read_rgb(self.lr_files[idx])
         return hr_image, lr_image
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
@@ -260,10 +276,15 @@ def get_dataloader(
     mode: str = "train",
     batch_size: int = 16,
     num_workers: int = 4,
+    prefetch_batches: int = 4,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
     **dataset_kwargs,
 ) -> DataLoader:
     """Loader factory (reference dataset.py:321-352): shuffle + drop_last in
-    train mode, threaded prefetch instead of worker processes."""
+    train mode, threaded prefetch instead of worker processes. A `seed`
+    kwarg controls BOTH the dataset's augmentation RNG and the shuffle
+    order; prefetch depth and multi-host sharding plumb through."""
     dataset = FFHQDataset(data_root, mode=mode, **dataset_kwargs)
     shuffle = mode == "train"
     drop_last = mode == "train"
@@ -273,4 +294,8 @@ def get_dataloader(
         shuffle=shuffle,
         drop_last=drop_last,
         num_workers=num_workers,
+        prefetch_batches=prefetch_batches,
+        seed=dataset_kwargs.get("seed", 0) or 0,
+        process_index=process_index,
+        process_count=process_count,
     )

@@ -26,10 +26,12 @@ def _resolve_process(process_index: Optional[int],
     if process_count is None or process_index is None:
         try:
             import jax
-
-            return jax.process_index(), jax.process_count()
-        except Exception:
+        except ImportError:  # host-only usage without jax installed
             return 0, 1
+        # anything else (distributed init failure in a real multi-host job)
+        # must fail LOUD: a silent (0, 1) fallback would make every host
+        # iterate the full dataset — duplicated data, wrong epoch size
+        return jax.process_index(), jax.process_count()
     return process_index, process_count
 
 
@@ -168,7 +170,9 @@ def bounded_prefetch(batches, fetch, build, num_workers: int,
     in host RAM) and `build(samples)` assembles the yielded batch. Producer
     shuts down cleanly when the consumer abandons the iterator.
     """
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch_batches)
+    # maxsize=0 would mean UNBOUNDED in queue.Queue — the opposite of the
+    # memory bound this prefetcher exists for
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch_batches, 1))
     pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
     stop = threading.Event()
 

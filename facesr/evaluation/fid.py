@@ -20,10 +20,16 @@ import numpy as np
 
 __all__ = [
     "frechet_distance", "fid_from_activations", "inception_activations",
-    "fid_from_images",
+    "fid_from_images", "FIDUnavailable",
 ]
 
 ENV_WEIGHTS = "FACESR_INCEPTION_WEIGHTS"
+
+
+class FIDUnavailable(RuntimeError):
+    """The FID backend cannot run (no converted InceptionV3 weights) —
+    distinct from real runtime failures so callers can degrade gracefully
+    on absence without masking genuine errors (metrics.compute_fid)."""
 
 
 def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
@@ -119,7 +125,7 @@ def fid_from_images(real_images: List[np.ndarray], fake_images: List[np.ndarray]
     if weights is None:
         weights = load_inception_weights()
     if weights is None:
-        raise RuntimeError(
+        raise FIDUnavailable(
             f"InceptionV3 weights unavailable — set ${ENV_WEIGHTS} to weights "
             f"converted with facesr.ckpt.convert (kind='inception')"
         )

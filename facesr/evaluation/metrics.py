@@ -111,7 +111,13 @@ class MetricCalculator:
 
     def evaluate_dataset(self, model: Callable, dataloader, desc: str = "Evaluating") -> Dict[str, float]:
         """model: callable NHWC LR batch -> SR batch (clamped internally or
-        here). Returns mean±std metrics over the dataset."""
+        here). Returns mean±std metrics over the dataset.
+
+        Deliberate reference parity (metrics.py:180-224): SSIM/LPIPS
+        aggregate as unweighted means of per-BATCH means (a ragged last
+        batch weighs its images more) and their std is across batch means,
+        while PSNR is per-image. Kept identical so facesr numbers are
+        comparable with reference-published tables."""
         all_psnr: List[float] = []
         all_ssim: List[float] = []
         all_lpips: List[float] = []
@@ -142,9 +148,12 @@ def compute_fid(real_images: List[np.ndarray], fake_images: List[np.ndarray]) ->
     (none in this environment); degrades to -1.0 with a warning, the exact
     failure mode the reference has without pytorch-fid (metrics.py:264-270)."""
     try:
-        from facesr.evaluation.fid import fid_from_images  # optional backend
+        from facesr.evaluation.fid import FIDUnavailable, fid_from_images
 
         return fid_from_images(real_images, fake_images)
-    except (ImportError, RuntimeError, FileNotFoundError) as e:
+    except (ImportError, FIDUnavailable, FileNotFoundError) as e:
+        # only the BACKEND-ABSENT cases degrade: a broad RuntimeError catch
+        # would also swallow genuine XLA failures (XlaRuntimeError
+        # subclasses RuntimeError) and report them as a missing backend
         print(f"Warning: FID computation unavailable ({e}).")
         return -1.0

@@ -9,7 +9,7 @@ perceptual weight is 0) through the jitted train step.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -54,10 +54,13 @@ class CombinedLoss:
         seed: int = 0,
         **kwargs,
     ):
-        cfg = config or LossConfig()
+        # copy before applying overrides: mutating a caller-shared config
+        # would leak this instance's kwargs into every other consumer
+        cfg = replace(config) if config is not None else LossConfig()
         for k, v in kwargs.items():
-            if hasattr(cfg, k):
-                setattr(cfg, k, v)
+            if not hasattr(cfg, k):
+                raise TypeError(f"Unknown LossConfig field: {k!r}")
+            setattr(cfg, k, v)
         self.config = cfg
         self.weights: Dict[str, float] = {}
         if cfg.l1_weight > 0:
@@ -135,7 +138,12 @@ class CombinedLoss:
 
     def update_weight(self, name: str, weight: float) -> None:
         """Runtime weight change (reference combined.py:179-184). Note: a
-        jitted step closing over weights must be rebuilt afterwards."""
+        jitted step closing over weights must be rebuilt afterwards.
+        The term SET is fixed at construction (weight-0 terms were never
+        built — params/structure live in the compiled program): setting an
+        existing term to 0.0 zeroes its contribution but still computes it
+        until the step is rebuilt, and a term omitted at construction
+        cannot be enabled here — build a new CombinedLoss instead."""
         if name not in self.weights:
             raise ValueError(f"Unknown loss component: {name}")
         self.weights[name] = weight
