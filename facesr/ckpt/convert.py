@@ -63,6 +63,15 @@ def convert_face_enhance_net_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, 
     blocks = sorted({int(m.group(1)) for k in sd
                      if (m := re.match(r"residual_groups\.0\.blocks\.(\d+)\.", k))})
     blocks_per_group = len(blocks)
+    if (num_groups == 0 or blocks_per_group == 0
+            or groups != list(range(num_groups))
+            or blocks != list(range(blocks_per_group))):
+        # fail with the layout, not a downstream tree_map/KeyError
+        raise ValueError(
+            f"Unrecognized FaceEnhanceNet state dict (groups={groups}, "
+            f"blocks={blocks}; keys e.g. {sorted(sd)[:3]}) — expected "
+            f"contiguous 'residual_groups.<g>.blocks.<b>.*' keys; strip "
+            f"any 'module.' prefix before converting")
 
     def rcab(g: int, b: int) -> Dict[str, Any]:
         pre = f"residual_groups.{g}.blocks.{b}"
@@ -122,9 +131,21 @@ def convert_vgg19_state_dict(sd: Dict[str, np.ndarray]) -> List[Dict[str, np.nda
     """torchvision vgg19 (full model or .features) -> facesr VGG conv list."""
     prefix = "features." if any(k.startswith("features.") for k in sd) else ""
     params = []
-    for idx in _VGG19_CONV_IDX:
+    for i, idx in enumerate(_VGG19_CONV_IDX):
         w_key = f"{prefix}{idx}.weight"
         if w_key not in sd:
+            # a clean PREFIX truncation (convs 0..i-1 present, nothing
+            # deeper) is a valid partial extractor; an empty result or a
+            # gap means an unrecognized layout (e.g. DataParallel
+            # 'module.'-prefixed keys) — a silently truncated list would
+            # convert "successfully" and fail downstream without a trace
+            deeper = [j for j in _VGG19_CONV_IDX[i:]
+                      if f"{prefix}{j}.weight" in sd]
+            if not params or deeper:
+                raise ValueError(
+                    f"vgg19 state dict missing {w_key!r} (have e.g. "
+                    f"{sorted(sd)[:3]}) — unrecognized layout; strip any "
+                    f"'module.' prefix before converting")
             break
         params.append({
             "w": sd[w_key].transpose(2, 3, 1, 0),

@@ -31,10 +31,23 @@ def init_perceptual(
     layers: Sequence[str] = DEFAULT_LAYERS,
     pretrained_params: Optional[List[Dict[str, jax.Array]]] = None,
 ) -> List[Dict[str, jax.Array]]:
-    """VGG19 conv params truncated to the deepest requested layer."""
+    """VGG19 conv params truncated to the deepest requested layer.
+
+    With pretrained_params=None, converted torchvision weights are loaded
+    automatically when available ($FACESR_VGG19_WEIGHTS / bundled
+    weights/vgg19.fckpt — the same gating as LPIPS/FID); otherwise the
+    fixed-random fallback keeps the loss usable without egress (values
+    then differ from the reference's pretrained perceptual loss)."""
     max_idx = max(vgg.LAYER_MAP[l] for l in layers)
+    if pretrained_params is None:
+        pretrained_params = vgg.load_vgg19_weights()
     if pretrained_params is not None:
         needed = vgg.num_convs_needed(max_idx)
+        if len(pretrained_params) < needed:
+            raise ValueError(
+                f"VGG19 weights have {len(pretrained_params)} convs but the "
+                f"requested layers need {needed} — corrupt/truncated "
+                f"conversion?")
         return pretrained_params[:needed]
     return vgg.init_vgg19(key, max_index=max_idx)
 

@@ -128,10 +128,19 @@ class RRDBNet:
 
     def __init__(self, config: Optional[RRDBNetConfig] = None,
                  params: Optional[Params] = None, seed: int = 0, **kwargs):
+        from dataclasses import replace as _dc_replace
+
         cfg = config or RRDBNetConfig()
-        for k, v in kwargs.items():
-            if hasattr(cfg, k):
-                setattr(cfg, k, v)
+        if kwargs:
+            # copy-with-override: never mutate a caller-shared config, and
+            # raise on typos instead of silently building the default
+            cfg = _dc_replace(cfg, **kwargs)
+        if cfg.scale != 4:
+            raise ValueError(
+                f"RRDBNet supports scale=4 only (the reference architecture "
+                f"hardcodes two nearest-x2 stages, esrgan.py:17-66); got "
+                f"scale={cfg.scale}. RealESRGAN x2 checkpoints use the "
+                f"pixel-unshuffle input variant, which is not implemented.")
         self.config = cfg
         self.model_type = "esrgan"
         self.params = params if params is not None else init(jax.random.PRNGKey(seed), cfg)
@@ -179,15 +188,15 @@ class ESRGANBaseline:
             params = jax.tree.map(jnp.asarray, params)
             self.config = infer_rrdbnet_config(params, scale=scale)
             self.pretrained = True
-        self.model = RRDBNet(self.config)
+        # pass params through: constructing first and assigning after would
+        # random-init 16.7M params only to discard them
+        self.model = RRDBNet(self.config, params=params)
         self.model_type = "esrgan"
         # Wrapper interface passthrough so the Trainer / converters accept
         # this like any model wrapper (reference trains 'esrgan' type via
         # the same Trainer path, train.py:78-79).
         self.apply_fn = self.model.apply_fn
-        if params is not None:
-            self.model.params = params
-        else:
+        if params is None:
             print("Warning: no RealESRGAN weights provided; ESRGANBaseline "
                   "runs randomly initialized (convert official weights with "
                   "facesr.ckpt.convert.convert_rrdbnet_state_dict).")

@@ -279,13 +279,9 @@ def apply(params: Dict, images: jax.Array, resize_input: bool = True,
 # ---------------------------------------------------------------------------
 
 def default_weights_path() -> Optional[str]:
-    p = os.environ.get(ENV_WEIGHTS)
-    if p and os.path.exists(p):
-        return p
-    here = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
-                        "inception_fid.fckpt")
-    here = os.path.abspath(here)
-    return here if os.path.exists(here) else None
+    from facesr.ckpt.weights import resolve_weights_path
+
+    return resolve_weights_path(ENV_WEIGHTS, "inception_fid.fckpt")
 
 
 def load_inception_weights(path: Optional[str] = None) -> Optional[Dict]:

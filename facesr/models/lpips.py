@@ -48,12 +48,9 @@ ENV_WEIGHTS = "FACESR_LPIPS_WEIGHTS"
 
 
 def default_weights_path() -> Optional[str]:
-    p = os.environ.get(ENV_WEIGHTS)
-    if p and os.path.exists(p):
-        return p
-    here = os.path.join(os.path.dirname(__file__), "..", "..", "weights", "lpips_alex.fckpt")
-    here = os.path.abspath(here)
-    return here if os.path.exists(here) else None
+    from facesr.ckpt.weights import resolve_weights_path
+
+    return resolve_weights_path(ENV_WEIGHTS, "lpips_alex.fckpt")
 
 
 def load_lpips_weights(path: Optional[str] = None) -> Optional[Dict]:

@@ -67,6 +67,27 @@ def num_convs_needed(max_index: int) -> int:
     return sum(1 for i, kind, _ in module_sequence() if kind == "conv" and i <= max_index)
 
 
+ENV_WEIGHTS = "FACESR_VGG19_WEIGHTS"
+
+
+def load_vgg19_weights(path: str | None = None) -> List[Dict[str, jax.Array]] | None:
+    """Converted torchvision VGG19 conv list (facesr.ckpt.convert kind
+    'vgg19'), or None when unavailable — the same env-var gating as LPIPS
+    ($FACESR_VGG19_WEIGHTS / bundled weights/vgg19.fckpt). Restores the
+    msgpack digit-keyed-dict round-trip of the saved list."""
+    from facesr.ckpt import load_checkpoint
+    from facesr.ckpt.weights import resolve_weights_path
+
+    path = path or resolve_weights_path(ENV_WEIGHTS, "vgg19.fckpt")
+    if path is None:
+        return None
+    tree, _ = load_checkpoint(path)
+    convs = tree["convs"] if "convs" in tree else tree
+    if isinstance(convs, dict):
+        convs = [convs[k] for k in sorted(convs, key=int)]
+    return [jax.tree.map(jnp.asarray, c) for c in convs]
+
+
 def init_vgg19(key: jax.Array, max_index: int = 36) -> List[Dict[str, jax.Array]]:
     """Conv params (list ordered by depth) up to torchvision index max_index."""
     params = []

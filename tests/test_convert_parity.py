@@ -378,3 +378,73 @@ def test_custom_cli_roundtrip_from_trainer_container(tmp_path):
     want = torch_oracle_forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(model(jnp.asarray(x))).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_converter_strictness_and_weight_gates(tmp_path, monkeypatch):
+    """Review fixes: unrecognized layouts raise instead of silently
+    truncating; an explicitly-set weights env var pointing nowhere raises;
+    converted VGG19 weights round-trip through load_vgg19_weights."""
+    import pytest
+    from facesr.ckpt import convert as cv
+    from facesr.ckpt.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(0)
+
+    # gapped VGG layout (DataParallel-ish) raises
+    sd = {"features.0.weight": rng.standard_normal((64, 3, 3, 3)).astype(np.float32),
+          "features.0.bias": np.zeros(64, np.float32),
+          # gap: features.2 missing, deeper conv present
+          "features.5.weight": rng.standard_normal((128, 64, 3, 3)).astype(np.float32),
+          "features.5.bias": np.zeros(128, np.float32)}
+    with pytest.raises(ValueError, match="unrecognized layout"):
+        cv.convert_vgg19_state_dict(sd)
+    with pytest.raises(ValueError, match="unrecognized layout"):
+        cv.convert_vgg19_state_dict({"module.features.0.weight": sd["features.0.weight"]})
+
+    # unrecognized FaceEnhanceNet layout raises with the key shape
+    with pytest.raises(ValueError, match="Unrecognized FaceEnhanceNet"):
+        cv.convert_face_enhance_net_state_dict(
+            {"module.conv_first.weight": rng.standard_normal((16, 3, 3, 3))})
+
+    # explicit-but-missing weights env var raises (no silent fallback)
+    from facesr.models import lpips as lp
+
+    monkeypatch.setenv(lp.ENV_WEIGHTS, str(tmp_path / "nope.fckpt"))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        lp.default_weights_path()
+
+    # converted VGG19 list round-trips through the env-gated loader
+    from facesr.models import vgg as vgg_lib
+
+    full = {}
+    chans = [3, 64, 64, 128, 128]
+    for i, idx in enumerate([0, 2, 5, 7]):
+        full[f"features.{idx}.weight"] = rng.standard_normal(
+            (chans[i + 1], chans[i], 3, 3)).astype(np.float32)
+        full[f"features.{idx}.bias"] = np.zeros(chans[i + 1], np.float32)
+    convs = cv.convert_vgg19_state_dict(full)
+    out = tmp_path / "vgg19.fckpt"
+    save_checkpoint(str(out), {"convs": convs}, {"kind": "vgg19"})
+    monkeypatch.setenv(vgg_lib.ENV_WEIGHTS, str(out))
+    loaded = vgg_lib.load_vgg19_weights()
+    assert isinstance(loaded, list) and len(loaded) == 4
+    np.testing.assert_array_equal(np.asarray(loaded[2]["w"]),
+                                  convs[2]["w"])
+
+    # perceptual init auto-consumes the gated weights (conv2_2 needs 4)
+    from facesr.losses.perceptual import init_perceptual
+
+    params = init_perceptual(jax.random.PRNGKey(0), layers=["conv2_2"])
+    np.testing.assert_array_equal(np.asarray(params[0]["w"]), convs[0]["w"])
+    # and raises when the conversion is too shallow for the request
+    with pytest.raises(ValueError, match="corrupt/truncated"):
+        init_perceptual(jax.random.PRNGKey(0), layers=["conv4_4"])
+
+    # RRDBNet: non-4x scale is rejected loudly, shared configs not mutated
+    from facesr.models.esrgan import RRDBNet, RRDBNetConfig
+
+    with pytest.raises(ValueError, match="scale=4 only"):
+        RRDBNet(RRDBNetConfig(scale=2, num_blocks=1))
+    shared = RRDBNetConfig(num_blocks=1, num_feat=16, num_grow_ch=8)
+    RRDBNet(shared, num_feat=8)
+    assert shared.num_feat == 16  # caller's config untouched
