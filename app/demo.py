@@ -180,7 +180,11 @@ def main():
             print(f"No checkpoints in {args.checkpoint_dir}")
             return
         name = next(iter(models))
-        img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
+        bgr = cv2.imread(args.image)
+        if bgr is None:
+            print(f"Cannot read image {args.image}")
+            return
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         res = process_image(img, models[name], LPIPS())
         out = Path(args.output)
         out.mkdir(parents=True, exist_ok=True)

@@ -47,10 +47,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
+                if not os.path.exists(_SRC):  # packaged .so without source
+                    if not os.path.exists(_LIB):
+                        return None
+                elif not _build():
+                    return None
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e:  # unloadable .so (ABI mismatch, partial build)
+            print(f"facesr.native: cannot load {_LIB} ({e}); numpy fallback")
+            return None
         lib.assemble_hr_batch.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),   # imgs
             ctypes.POINTER(ctypes.c_int32),    # heights
@@ -84,6 +92,13 @@ def assemble_hr_batch(
     float32 in [0,1]. Falls back to numpy when the native lib is missing."""
     n = len(images)
     for i, img in enumerate(images):
+        # the native kernel reads h*w*3 raw uint8 bytes — anything else
+        # (grayscale, float, padded strides) would be an out-of-bounds or
+        # garbage read, so validate BOTH paths identically here
+        if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(
+                f"image {i} must be HWC uint8 RGB, got "
+                f"shape={img.shape} dtype={img.dtype}")
         h, w = img.shape[:2]
         if int(tops[i]) + crop > h or int(lefts[i]) + crop > w:
             raise ValueError(

@@ -122,6 +122,14 @@ def main():
         except Exception as e:
             print(f"Skipping {path}: {e}")
 
+    if not models:
+        print(f"No loadable checkpoints in {args.checkpoint_dir}; "
+              "evaluating OpenCV baselines only")
+    if args.per_image and args.serve_dtype:
+        raise SystemExit("--serve-dtype routes through the batched serving "
+                         "path; drop --per-image (the per-image loop runs "
+                         "plain f32 forwards and would mislabel the results)")
+
     lpips_fn = LPIPS(verbose=True)
 
     files = sorted(Path(args.test_dir).glob("*.png"))[: args.num_images]
@@ -141,11 +149,18 @@ def main():
     # loop; metric values are identical either way (dtype=None forward).
     # An outer macro-chunk bounds host memory at reference eval scale.
     eval_chunk = 256
-    predictors = {}
+    predictors = None
     for chunk_start in range(0, len(files), eval_chunk):
         chunk_files = files[chunk_start:chunk_start + eval_chunk]
         hrs = [cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
                for f in chunk_files]
+        # HR dims must divide by scale or the SR (H//s*s) and HR shapes
+        # mismatch in the metrics/strips; center-crop the remainder off
+        hrs = [h[(h.shape[0] % args.scale) // 2:
+                 (h.shape[0] % args.scale) // 2 + h.shape[0] // args.scale * args.scale,
+                 (h.shape[1] % args.scale) // 2:
+                 (h.shape[1] % args.scale) // 2 + h.shape[1] // args.scale * args.scale]
+               for h in hrs]
         if args.per_image:
             lrs = [np.asarray(bicubic_down(
                 jnp.asarray(hr[None].astype(np.float32) / 255.0), args.scale))[0]
@@ -159,7 +174,7 @@ def main():
             from facesr.evaluation.batched import (
                 make_predictor, sr_batched, synthesize_lr_batched)
 
-            if not predictors:
+            if predictors is None:  # build once, even with zero models
                 sd = {"f32": None, "bf16": None, None: None}.get(
                     args.serve_dtype, args.serve_dtype)
                 import jax.numpy as _jnp

@@ -14,9 +14,14 @@ serving distribution), and writes the tree with
 load, so serving startup never pays the calibration pass. See BENCH.md
 for the measured speed/quality trade (1.69x bf16 on v5e).
 
-Usage:
+Usage (the api derives its cache path as `<prefix>.<model_name>.fckpt`
+where model_name is the checkpoint's friendly name lowercased/underscored
+— name the artifact accordingly, e.g. for best_model.fckpt):
   python scripts/export_quantized.py --checkpoint checkpoints/best_model.fckpt \
-      --calib-dir data/processed/val/HR --output checkpoints/best_model.int8.fckpt
+      --calib-dir data/processed/val/HR --calib-hr \
+      --output quant/int8.best_model.fckpt
+  python app/api.py --checkpoint-dir checkpoints --dtype int8_full \
+      --quant-cache quant/int8
 """
 
 import argparse
@@ -70,6 +75,9 @@ def main():
         if bgr is None:
             continue
         imgs.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0)
+    if not imgs:
+        raise SystemExit(f"No readable images in {args.calib_dir} "
+                         f"({len(paths)} files found, none decoded)")
     imgs = [i for i in imgs if i.shape == imgs[0].shape]  # one uniform batch
     calib = np.stack(imgs)
     if args.calib_hr:
@@ -79,14 +87,23 @@ def main():
     print(f"Calibrating on {len(calib)} images "
           f"({calib.shape[1]}x{calib.shape[2]} LR)...")
 
+    out = Path(args.output)
+    if out.exists():
+        # calibrated_qparams treats an existing cache_path as a cache HIT
+        # and would return the OLD model's kernels without recalibrating —
+        # an export must always re-export
+        print(f"Overwriting existing artifact {out}")
+        out.unlink()
     calibrated_qparams(model.params, model.apply_fn, calib,
                        max_batch=max(len(calib), 1), cache_path=args.output)
-    size = Path(args.output).stat().st_size / 1e6
+    size = out.stat().st_size / 1e6
     print(f"Wrote calibrated int8 tree to {args.output} ({size:.1f} MB)")
+    stem = Path(args.checkpoint).stem.lower().replace(" ", "_")
     print(f"Serve with: python app/api.py --checkpoint-dir <dir> "
-          f"--dtype int8_full --quant-cache <prefix>  (or "
+          f"--dtype int8_full --quant-cache <prefix>  "
+          f"(the api loads <prefix>.{stem}.fckpt for this checkpoint), or "
           f"ShardedPredictor(model, dtype='int8_full', "
-          f"quant_cache={args.output!r}))")
+          f"quant_cache={args.output!r})")
 
 
 if __name__ == "__main__":
