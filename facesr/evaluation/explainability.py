@@ -34,6 +34,7 @@ __all__ = [
     "GradCAM",
     "AttentionExtractor",
     "apply_heatmap",
+    "create_attention_report",
     "create_gradcam_visualization",
     "visualize_attention_flow",
 ]
@@ -68,7 +69,10 @@ def _split_forward(params, x, cfg: fen.FaceEnhanceNetConfig, split_group: int):
         if split_group < cfg.num_groups:
             h, _ = blocks_lib.residual_groups(tail_groups, h, cfg.res_scale, pad)
         h = conv2d(h, params["conv_after_body"]["w"], params["conv_after_body"]["b"], padding=pad)
-        h = h + residual
+        # at split 0 the intermediate IS the conv_first output feeding the
+        # long skip — rebind it so jax.grad attributes the skip's (large,
+        # conv_last is near-zero-init) contribution to the CAM target
+        h = h + (intermediate if split_group == 0 else residual)
         h = blocks_lib.upsample(params["upsample"], h)
         out = conv2d(h, params["conv_last"]["w"], params["conv_last"]["b"], padding=pad)
         return out.astype(jnp.float32) + skip
@@ -105,9 +109,10 @@ class GradCAM:
     def generate(self, x: jax.Array, region: str | tuple = "full") -> np.ndarray:
         """x: NHWC LR input. Returns CAM heatmap [N, h, w] in [0, 1] at the
         target layer's spatial resolution."""
-        params = self.model.params
-        feat, finish = _split_forward(params, x, self.cfg, self.split_group)
+        feat, finish = _split_forward(self.model.params, x, self.cfg, self.split_group)
+        return self._cam(feat, finish, x, region)
 
+    def _cam(self, feat, finish, x, region) -> np.ndarray:
         out_hw = (x.shape[1] * self.cfg.scale_factor, x.shape[2] * self.cfg.scale_factor)
         y0, x0, y1, x1 = self._region_box(region, out_hw)
 
@@ -125,7 +130,10 @@ class GradCAM:
         return (cam - cmin) / (cmax - cmin + 1e-8)
 
     def generate_multi_region(self, x: jax.Array) -> Dict[str, np.ndarray]:
-        return {name: self.generate(x, name) for name in FACE_REGIONS}
+        # one head forward shared across regions — only the CAM target (and
+        # its pullback) differs per region
+        feat, finish = _split_forward(self.model.params, x, self.cfg, self.split_group)
+        return {name: self._cam(feat, finish, x, name) for name in FACE_REGIONS}
 
 
 class AttentionExtractor:

@@ -73,6 +73,19 @@ def structural_similarity(im1: np.ndarray, im2: np.ndarray,
                           win_size: int = 7) -> float:
     im1 = np.asarray(im1)
     im2 = np.asarray(im2)
+    if channel_axis is None and im1.ndim == 3:
+        # skimage would treat this as VOLUMETRIC (3-D 7x7x7 windows) —
+        # silently filtering each channel in 2-D here would disagree with
+        # the library this module claims to reproduce
+        raise ValueError(
+            "3-D input without channel_axis: pass channel_axis=-1 for "
+            "multichannel SSIM (volumetric SSIM is not implemented)")
+    if min(im1.shape[0], im1.shape[1]) < win_size or win_size < 3:
+        # mirror skimage's loud failure instead of a NaN from an
+        # empty-crop mean
+        raise ValueError(
+            f"win_size={win_size} exceeds image extent {im1.shape[:2]} "
+            f"(or is < 3); use larger images or a smaller odd win_size")
     if channel_axis is not None:
         im1 = np.moveaxis(im1, channel_axis, -1)
         im2 = np.moveaxis(im2, channel_axis, -1)

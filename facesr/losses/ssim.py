@@ -61,6 +61,30 @@ def _filter(x: jax.Array, window_size: int, sigma: float, channels: int) -> jax.
     return conv2d(x, g_row, padding=[(0, 0), (pad, pad)], feature_group_count=channels)
 
 
+def _ssim_components(pred: jax.Array, target: jax.Array, window_size: int,
+                     sigma: float, c1: float, c2: float):
+    """Windowed luminance and contrast-structure terms, computed in f32.
+
+    The f32 upcast lives HERE, not per caller: variance via
+    E[x^2] - E[x]^2 cancels catastrophically below f32 (observed SSIM > 1
+    on TPU — facesr.ops.conv), and leaving the guarantee to callers forked
+    it between the training loss (which upcast) and the metrics surface
+    (which did not). Shared by ssim() and every ms_ssim scale so the
+    algebra cannot drift between the two."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    channels = pred.shape[-1]
+    mu_p = _filter(pred, window_size, sigma, channels)
+    mu_t = _filter(target, window_size, sigma, channels)
+    mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
+    sigma_pp = _filter(pred * pred, window_size, sigma, channels) - mu_pp
+    sigma_tt = _filter(target * target, window_size, sigma, channels) - mu_tt
+    sigma_pt = _filter(pred * target, window_size, sigma, channels) - mu_pt
+    luminance = (2 * mu_pt + c1) / (mu_pp + mu_tt + c1)
+    cs = (2 * sigma_pt + c2) / (sigma_pp + sigma_tt + c2)
+    return luminance, cs
+
+
 def ssim(
     pred: jax.Array,
     target: jax.Array,
@@ -71,23 +95,10 @@ def ssim(
     K: Tuple[float, float] = (0.01, 0.03),
 ) -> jax.Array:
     """SSIM over NHWC images (reference ssim_loss.py:44-98)."""
-    channels = pred.shape[-1]
     c1 = (K[0] * data_range) ** 2
     c2 = (K[1] * data_range) ** 2
-
-    mu_p = _filter(pred, window_size, sigma, channels)
-    mu_t = _filter(target, window_size, sigma, channels)
-    mu_pp = mu_p * mu_p
-    mu_tt = mu_t * mu_t
-    mu_pt = mu_p * mu_t
-
-    sigma_pp = _filter(pred * pred, window_size, sigma, channels) - mu_pp
-    sigma_tt = _filter(target * target, window_size, sigma, channels) - mu_tt
-    sigma_pt = _filter(pred * target, window_size, sigma, channels) - mu_pt
-
-    num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)
-    den = (mu_pp + mu_tt + c1) * (sigma_pp + sigma_tt + c2)
-    ssim_map = num / den
+    luminance, cs = _ssim_components(pred, target, window_size, sigma, c1, c2)
+    ssim_map = luminance * cs
 
     if size_average:
         return ssim_map.mean()
@@ -102,8 +113,14 @@ def ms_ssim(
     data_range: float = 1.0,
     weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
 ) -> jax.Array:
-    """Multi-scale SSIM (reference ssim_loss.py:101-171)."""
-    channels = pred.shape[-1]
+    """Multi-scale SSIM (reference ssim_loss.py:101-171).
+
+    Deviation from the reference: per-scale cs means clamp at 0 before
+    the fractional-power product. The reference raises possibly-negative
+    means to fractional powers — NaN in float, which as a training loss
+    poisons every gradient for the rest of the run. Typical (positively
+    correlated) images have cs > 0, where this is value-identical; the
+    MS-SSIM torch-oracle parity test runs in that regime."""
     K = (0.01, 0.03)
     c1 = (K[0] * data_range) ** 2
     c2 = (K[1] * data_range) ** 2
@@ -112,20 +129,11 @@ def ms_ssim(
     mcs = []
     msssim_last = None
     for i in range(levels):
-        mu_p = _filter(pred, window_size, sigma, channels)
-        mu_t = _filter(target, window_size, sigma, channels)
-        mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
-        sigma_pp = _filter(pred * pred, window_size, sigma, channels) - mu_pp
-        sigma_tt = _filter(target * target, window_size, sigma, channels) - mu_tt
-        sigma_pt = _filter(pred * target, window_size, sigma, channels) - mu_pt
-
-        luminance = (2 * mu_pt + c1) / (mu_pp + mu_tt + c1)
-        cs = (2 * sigma_pt + c2) / (sigma_pp + sigma_tt + c2)
-
+        luminance, cs = _ssim_components(pred, target, window_size, sigma, c1, c2)
         if i == levels - 1:
-            msssim_last = (luminance * cs).mean()
+            msssim_last = jnp.maximum((luminance * cs).mean(), 0.0)
         else:
-            mcs.append(cs.mean())
+            mcs.append(jnp.maximum(cs.mean(), 0.0))
             pred = avg_pool2(pred)
             target = avg_pool2(target)
 

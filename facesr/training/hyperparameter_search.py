@@ -7,8 +7,10 @@ try/except marking status='failed', completed-experiment skip on resume
 (reference :118-157, 195-197, 380-402, 424-426), pandas report + per-param
 impact analysis (:442-531) and `quick_search` (:534-585).
 
-Each experiment runs a self-contained jitted train loop (content losses
-only) on the data-parallel mesh. Unlike the reference's crude PSNR-derived
+Each experiment runs a self-contained SINGLE-DEVICE jitted train loop
+(content losses only) — grid points are small/short by design and the
+search parallelizes across experiments, not within one; use the full
+Trainer for sharded runs. Unlike the reference's crude PSNR-derived
 SSIM approximation (:331-333), validation uses the real SSIM.
 """
 
@@ -41,8 +43,12 @@ class ExperimentConfig:
     experiment_id: str = ""
 
     def make_id(self) -> str:
+        # EVERY searchable field participates: ids that omitted
+        # num_channels/epochs collapsed grid points into one "completed"
+        # entry, silently skipping the rest of the axis
         return (f"lr{self.learning_rate}_bs{self.batch_size}"
-                f"_pw{self.perceptual_weight}_blocks{self.num_rcab_blocks}")
+                f"_pw{self.perceptual_weight}_blocks{self.num_rcab_blocks}"
+                f"_ch{self.num_channels}_ep{self.epochs}")
 
 
 @dataclass
