@@ -16,7 +16,10 @@ import cv2
 
 import matplotlib
 
-matplotlib.use("Agg")
+# force=False: respect a backend the host already chose (e.g. a notebook's
+# inline backend — these helpers return figures for exactly that use);
+# headless environments still get Agg
+matplotlib.use("Agg", force=False)
 import matplotlib.pyplot as plt
 
 __all__ = [
@@ -36,6 +39,8 @@ def tensor_to_image(tensor) -> np.ndarray:
         arr = arr[0]
     if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
         arr = arr.transpose(1, 2, 0)  # CHW -> HWC
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]  # (H, W, 1) crashes imshow/cvtColor downstream
     arr = np.clip(arr, 0, 1) if arr.dtype != np.uint8 else arr
     if arr.dtype != np.uint8:
         arr = (arr * 255).round().astype(np.uint8)

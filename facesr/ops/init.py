@@ -90,6 +90,11 @@ def icnr(key: jax.Array, shape: Sequence[int], scale_factor: int = 2, dtype=jnp.
     """
     kh, kw, cin, cout = shape
     r2 = scale_factor ** 2
+    if cout % r2:
+        # a floor-divided sub-size would silently return a (cout//r2)*r2
+        # kernel and surface later as an opaque conv shape mismatch
+        raise ValueError(
+            f"ICNR needs out channels divisible by scale^2: {cout} % {r2} != 0")
     sub = cout // r2
     # Torch draws the OIHW sub-kernel with kaiming fan_out(relu): fan_out
     # there is sub-kernel's out * rf. Build at the reduced out-size so std

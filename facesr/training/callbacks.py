@@ -93,6 +93,7 @@ class ActivationMonitor:
     def update(self, x) -> Dict[str, Dict[str, float]]:
         maps = self.model.get_attention_maps(x)
         self.stats = {}
+        self._channel_means = {}
         for name, attn in maps.items():
             a = np.asarray(attn)
             self.stats[name] = {
@@ -100,12 +101,18 @@ class ActivationMonitor:
                 "std": float(a.std()),
                 "dead_fraction": float((a < 1e-3).mean()),
             }
+            # batch-mean per channel, kept so dead_channels can COUNT dead
+            # channels at any caller-chosen threshold (reference
+            # callbacks.py counts per layer)
+            self._channel_means[name] = a.reshape(-1, a.shape[-1]).mean(axis=0)
         return self.stats
 
     def dead_channels(self, threshold: float = 1e-3) -> Dict[str, int]:
+        """Number of channels per layer whose batch-mean attention falls
+        below `threshold`."""
         return {
-            name: int(s["dead_fraction"] > 0.5)
-            for name, s in self.stats.items()
+            name: int((means < threshold).sum())
+            for name, means in getattr(self, "_channel_means", {}).items()
         }
 
 
@@ -122,9 +129,15 @@ class WeightMonitor:
         params = jax.device_get(params)
         ratios = {}
         if self.prev is not None:
-            flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
-            flat_old = jax.tree.leaves(self.prev)
-            for (path, new), old in zip(flat_new, flat_old):
+            flat_new, new_def = jax.tree_util.tree_flatten_with_path(params)
+            flat_old, old_def = jax.tree_util.tree_flatten_with_path(self.prev)
+            if new_def != old_def:
+                # positional zip across different structures would subtract
+                # mismatched layers into garbage ratios — restart tracking
+                print("WeightMonitor: params structure changed; resetting")
+                self.prev = params
+                return {}
+            for (path, new), (_, old) in zip(flat_new, flat_old):
                 name = _path_str(path)
                 denom = float(np.linalg.norm(np.asarray(old).ravel())) + 1e-12
                 delta = float(np.linalg.norm((np.asarray(new) - np.asarray(old)).ravel()))

@@ -28,12 +28,18 @@ class ReduceLROnPlateau:
     patience=5)` as used by the reference (trainer.py:304-307)."""
 
     def __init__(self, base_lr: float, mode: str = "max", factor: float = 0.5,
-                 patience: int = 5, min_lr: float = 0.0):
+                 patience: int = 5, min_lr: float = 0.0,
+                 threshold: float = 1e-4):
         self.lr = base_lr
         self.mode = mode
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        # torch-parity relative improvement threshold
+        # (threshold_mode='rel', default 1e-4): without it, float-noise
+        # jiggles of ~1e-6 count as improvement and the LR never reduces
+        # on a genuinely plateaued run
+        self.threshold = threshold
         self.best = None
         self.num_bad = 0
 
@@ -41,7 +47,10 @@ class ReduceLROnPlateau:
         if self.best is None:
             self.best = metric
         else:
-            improved = metric > self.best if self.mode == "max" else metric < self.best
+            if self.mode == "max":
+                improved = metric > self.best * (1.0 + self.threshold)
+            else:
+                improved = metric < self.best * (1.0 - self.threshold)
             if improved:
                 self.best = metric
                 self.num_bad = 0

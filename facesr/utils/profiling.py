@@ -58,10 +58,12 @@ class Timer:
 
 
 @contextlib.contextmanager
-def trace(log_dir: str) -> Iterator[None]:
-    """jax.profiler trace context (view in TensorBoard / xprof)."""
-    jax.profiler.start_trace(log_dir)
-    try:
+def trace(log_dir: str, create_perfetto_trace: bool = False) -> Iterator[None]:
+    """jax.profiler trace context (view in TensorBoard / xprof).
+
+    Thin passthrough to jax.profiler.trace, kept for the facesr.utils
+    surface; `create_perfetto_trace=True` is the path that works on the
+    axon dev tunnel (parse vm.trace.json.gz offline — CLAUDE.md)."""
+    with jax.profiler.trace(log_dir,
+                            create_perfetto_trace=create_perfetto_trace):
         yield
-    finally:
-        jax.profiler.stop_trace()

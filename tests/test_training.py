@@ -416,3 +416,30 @@ def test_pre_ema_checkpoint_full_resume_without_ema(tmp_path):
     trainer3 = _make_trainer(tmp_path, ema_decay=0.999)
     trainer3.load_checkpoint(old_ckpt)
     assert trainer3.state.ema_params is not None
+
+
+def test_plateau_scheduler_matches_pytorch():
+    """ReduceLROnPlateau parity incl. the rel improvement threshold: tiny
+    float jiggles must NOT count as improvement (torch threshold=1e-4)."""
+    import torch.optim as optim
+
+    base = 1e-3
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = optim.SGD([p], lr=base)
+    sched = optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=0.5, patience=2)
+    ours = schedules.ReduceLROnPlateau(base, mode="max", factor=0.5, patience=2)
+
+    # plateau with sub-threshold creep: 20.0, 20.000001, 20.000002, ...
+    for i in range(10):
+        metric = 20.0 + i * 1e-6
+        sched.step(metric)
+        got = ours.step(metric)
+        want = opt.param_groups[0]["lr"]
+        assert abs(got - want) < 1e-12, (i, got, want)
+    assert got < base  # the LR actually reduced on the plateau
+
+    # a real improvement resets the bad counter in both
+    sched.step(25.0)
+    got = ours.step(25.0)
+    assert abs(got - opt.param_groups[0]["lr"]) < 1e-12
