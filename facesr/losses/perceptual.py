@@ -70,6 +70,12 @@ def perceptual_loss(
     targets). `dtype` sets the sweep's compute precision (bf16 under the
     trainer's mixed-precision policy); the feature distance itself reduces
     in f32 either way."""
+    if criterion not in ("l1", "l2"):
+        # reference PerceptualLoss raises for unknown criteria too
+        # (perceptual.py:130-135); a silent L2 fallback would quietly
+        # change the loss landscape on a typo
+        raise ValueError(f"Unknown perceptual criterion {criterion!r}; "
+                         f"use 'l1' or 'l2'")
     dist = lambda a, b: (l1_loss if criterion == "l1" else l2_loss)(
         a.astype(jnp.float32), b.astype(jnp.float32))
     weights = weights or {l: 1.0 for l in layers}

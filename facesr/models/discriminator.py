@@ -80,6 +80,14 @@ def init(key: jax.Array, cfg: DiscriminatorConfig = DiscriminatorConfig()) -> Tu
         params["blocks"].append(block)
         in_ch = out_ch
 
+    if cfg.input_size % 32:
+        # the conv stack downsamples by ceil(s/2) five times, so any
+        # non-multiple of 32 makes the flatten size disagree with this
+        # floor division and apply() dies in a dense shape mismatch (the
+        # reference has the same latent constraint, undocumented)
+        raise ValueError(
+            f"Discriminator input_size must be a multiple of 32, got "
+            f"{cfg.input_size}")
     feat = cfg.input_size // 32
     flat = cfg.base_channels * 8 * feat * feat
     params["fc1_w"] = finit.kaiming_normal(keys[-2], (flat, 1024), mode="fan_in", nonlinearity="leaky_relu", a=0.2)

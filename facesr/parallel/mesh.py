@@ -74,7 +74,9 @@ def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
     Uses the same attention-path exclusion as the int8 transforms so the
     tiny SE bottlenecks (width C/r, often indivisible) stay replicated.
     """
-    n = int(np.prod(mesh.devices.shape))
+    # divisibility is against the TARGET axis's size, not the whole mesh —
+    # on a 2-D (data, model) mesh only the model axis partitions channels
+    n = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
 
     def rule(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]

@@ -134,6 +134,15 @@ def main():
         args.checkpoints = [p for p in stage_flags if p]
         args.names = [f"Stage {i + 1}" for i, p in enumerate(stage_flags) if p]
 
+    # zip would silently truncate a checkpoint/name length mismatch —
+    # extend the default labels instead of dropping checkpoints
+    if len(args.names) < len(args.checkpoints):
+        args.names = args.names + [
+            f"Stage {i + 1}"
+            for i in range(len(args.names), len(args.checkpoints))]
+    elif len(args.names) > len(args.checkpoints):
+        args.names = args.names[:len(args.checkpoints)]
+
     out = Path(args.output)
     histories, names = [], []
     for ckpt, name in zip(args.checkpoints, args.names):

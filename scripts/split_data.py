@@ -6,11 +6,8 @@ copy or move."""
 import argparse
 import random
 import shutil
-import sys
+from collections import Counter
 from pathlib import Path
-
-project_root = Path(__file__).parent.parent
-sys.path.insert(0, str(project_root))
 
 
 def split_data(
@@ -31,12 +28,21 @@ def split_data(
     train_ratio, val_ratio, test_ratio = (
         train_ratio / total, val_ratio / total, test_ratio / total)
 
-    extensions = {".jpg", ".jpeg", ".png", ".bmp"}
+    extensions = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
     files = sorted(
         f for f in input_path.rglob("*") if f.suffix.lower() in extensions
     )
     if not files:
         raise ValueError(f"No images found in {input_dir}")
+    # destinations are flat dest/<basename>: recursive discovery with
+    # colliding basenames would silently overwrite (and with move=True,
+    # destroy) files — refuse up front
+    dupes = [n for n, c in Counter(f.name for f in files).items() if c > 1]
+    if dupes:
+        raise ValueError(
+            f"{len(dupes)} duplicate basenames across subdirectories "
+            f"(e.g. {dupes[:3]}); splits write flat <split>/<name> — "
+            f"rename or flatten the input first")
     print(f"Found {len(files)} images")
 
     random.seed(seed)
