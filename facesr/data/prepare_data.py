@@ -75,9 +75,10 @@ def split_dataset(
     seed: int = 42,
 ) -> Tuple[List[Path], List[Path], List[Path]]:
     """Seeded shuffle split (~60k/5k/5k of FFHQ's 70k)."""
-    random.seed(seed)
     files = list(files)
-    random.shuffle(files)
+    # local generator: reseeding the process-global `random` as a side
+    # effect would silently reset every other caller's stream
+    random.Random(seed).shuffle(files)
     n_total = len(files)
     n_train = int(n_total * train_ratio)
     n_val = int(n_total * val_ratio)
@@ -137,9 +138,20 @@ def save_to_hdf5(
         )
         names = []
         for i, hr_path in enumerate(hr_files):
-            hr = cv2.cvtColor(cv2.imread(str(hr_path)), cv2.COLOR_BGR2RGB)
             lr_path = split_dir / "LR" / hr_path.name
-            lr = cv2.cvtColor(cv2.imread(str(lr_path)), cv2.COLOR_BGR2RGB)
+            hr_bgr = cv2.imread(str(hr_path))
+            lr_bgr = cv2.imread(str(lr_path))
+            if hr_bgr is None or lr_bgr is None:
+                raise IOError(f"Unreadable/missing pair for {hr_path.name} "
+                              f"(LR exists: {lr_path.exists()})")
+            hr = cv2.cvtColor(hr_bgr, cv2.COLOR_BGR2RGB)
+            lr = cv2.cvtColor(lr_bgr, cv2.COLOR_BGR2RGB)
+            if (hr.shape[:2] != (hr_size, hr_size)
+                    or lr.shape[:2] != (lr_size, lr_size)):
+                raise ValueError(
+                    f"{hr_path.name}: sizes {hr.shape[:2]}/{lr.shape[:2]} do "
+                    f"not match hr_size={hr_size}/lr_size={lr_size} — stale "
+                    f"files from a previous run with different sizes?")
             hr_ds[i] = hr
             lr_ds[i] = lr
             names.append(hr_path.name)
@@ -172,6 +184,15 @@ def main() -> None:
     files = get_image_files(Path(args.input))
     if args.max_images:
         files = files[: args.max_images]
+    from collections import Counter
+
+    dupes = [st for st, c in Counter(f.stem for f in files).items() if c > 1]
+    if dupes:
+        # outputs are flat HR/<stem>.png — recursive discovery with
+        # colliding stems would silently overwrite pairs
+        raise SystemExit(
+            f"{len(dupes)} duplicate stems across subdirectories "
+            f"(e.g. {dupes[:3]}); rename or flatten the input first")
     print(f"Found {len(files)} images")
 
     train_f, val_f, test_f = split_dataset(files, args.train_ratio, args.val_ratio, args.seed)

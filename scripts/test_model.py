@@ -82,8 +82,9 @@ def test_single_image(model, hr_path: Path, output_dir: Path, scale: int = 4,
                       save_comparison: bool = True) -> dict:
     import jax.numpy as jnp
 
-    hr_bgr = cv2.imread(str(hr_path))
-    hr = cv2.cvtColor(hr_bgr, cv2.COLOR_BGR2RGB)
+    from facesr.data.dataset import _read_rgb
+
+    hr = _read_rgb(hr_path)
 
     lr = generate_lr(hr, scale)
     sr = np.asarray(model(jnp.asarray(lr[None])))[0]
@@ -185,7 +186,9 @@ def main():
     if input_path.is_file():
         files = [input_path]
     else:
-        files = sorted(input_path.glob("*.png")) or sorted(input_path.glob("*.jpg"))
+        from facesr.data.dataset import _list_images
+
+        files = _list_images(input_path)  # all extensions, case-insensitive
     if args.max_images:
         files = files[: args.max_images]
     if not files:
@@ -209,11 +212,13 @@ def main():
         from facesr.evaluation.batched import (
             make_predictor, sr_batched, synthesize_lr_batched)
 
+        from facesr.data.dataset import _read_rgb
+
         predictor = make_predictor(model, max_batch=args.batch_size)
         output_dir.mkdir(parents=True, exist_ok=True)
         for start in range(0, len(files), 256):
             chunk_files = files[start:start + 256]
-            hrs = [cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+            hrs = [_read_rgb(f)
                    for f in chunk_files]
             lrs = synthesize_lr_batched(hrs, args.scale)
             srs = sr_batched(model, lrs, predictor=predictor)

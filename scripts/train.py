@@ -104,6 +104,10 @@ def main():
     if Path(args.config).exists():
         config = load_config(args.config)
         print(f"Loaded config from {args.config}")
+    elif args.config != "configs/config.yaml":
+        # only the coded default may be legitimately absent; an explicit
+        # --config typo must not silently train with all defaults
+        raise SystemExit(f"Config not found: {args.config}")
 
     project_config = config.get("project", {})
     data_config = config.get("data", {})
@@ -112,11 +116,15 @@ def main():
     checkpoint_config = config.get("checkpoint", {})
     logging_config = config.get("logging", {})
 
-    set_seed(project_config.get("seed", 42))
+    seed = project_config.get("seed", 42)
+    set_seed(seed)
 
-    batch_size = args.batch_size or data_config.get("batch_size", 16)
-    epochs = args.epochs or training_config.get("epochs", 50)
-    lr = args.lr or training_config.get("optimizer", {}).get("lr", 1e-4)
+    # `is not None`, not `or`: 0 is a legitimate override (e.g. --epochs 0
+    # for a dry config check) and must not silently fall back
+    batch_size = (args.batch_size if args.batch_size is not None
+                  else data_config.get("batch_size", 16))
+    epochs = args.epochs if args.epochs is not None else training_config.get("epochs", 50)
+    lr = args.lr if args.lr is not None else training_config.get("optimizer", {}).get("lr", 1e-4)
     data_root = args.data_root or data_config.get("data_root", "data/processed")
     model_type = args.model or config.get("model", {}).get("type", "custom")
 
@@ -168,6 +176,7 @@ def main():
             crop=hr_patch,
             flip_prob=aug_config.get("horizontal_flip", 0.5),
             num_workers=data_config.get("num_workers", 4),
+            seed=seed,
         )
     else:
         train_loader = get_dataloader(
@@ -181,14 +190,19 @@ def main():
             color_jitter_prob=color_jitter.get("probability", 0.3),
             brightness=color_jitter.get("brightness", 0.1),
             contrast=color_jitter.get("contrast", 0.1),
-            saturation=color_jitter.get("saturation", 0.0),
-            hue=color_jitter.get("hue", 0.0),
+            # fallbacks match PairedTransform's documented defaults so the
+            # effective jitter does not depend on which entry path built
+            # the loader
+            saturation=color_jitter.get("saturation", 0.1),
+            hue=color_jitter.get("hue", 0.05),
+            seed=seed,
         )
     val_loader = get_dataloader(
         data_root,
         mode="val",
         batch_size=batch_size,
         num_workers=data_config.get("num_workers", 4),
+        seed=seed,
     )
     print(f"Train samples: {len(train_loader.dataset)}")
     print(f"Val samples: {len(val_loader.dataset)}")
@@ -283,8 +297,7 @@ def main():
         # D must be sized for the images it will actually see: the training
         # HR crop (the reference sizes it from hr_size, which only works
         # because its configs crop at full hr_size).
-        d_input = aug_config.get("random_crop", {}).get(
-            "hr_patch_size", data_config.get("hr_size", 256))
+        d_input = hr_patch  # the loaders crop to hr_patch (default 128)
         discriminator = create_discriminator(
             input_size=d_input,
             base_channels=gan_config.get("d_channels", 64),
@@ -315,7 +328,11 @@ def main():
     # a full resume from a completed prior stage would restore its epoch
     # counter and train zero epochs (the reference sidesteps this by only
     # honoring its CLI flag and leaving the YAML key dead).
-    if args.resume and Path(args.resume).exists():
+    if args.resume and not Path(args.resume).exists():
+        # silent fallthrough here trained hours from scratch and
+        # overwrote the checkpoint dir on a typo'd path
+        raise SystemExit(f"--resume checkpoint not found: {args.resume}")
+    if args.resume:
         print(f"\nLoading checkpoint from {args.resume}")
         trainer.load_checkpoint(args.resume, weights_only=args.fine_tune)
     elif checkpoint_config.get("resume") and Path(checkpoint_config["resume"]).exists():
@@ -344,8 +361,9 @@ def main():
         print("Training complete!")
         print("=" * 60)
         print(f"\nFinal metrics:")
-        print(f"  Best PSNR: {max(history['val_psnr']):.2f} dB")
-        print(f"  Best SSIM: {max(history['val_ssim']):.4f}")
+        if history["val_psnr"]:
+            print(f"  Best PSNR: {max(history['val_psnr']):.2f} dB")
+            print(f"  Best SSIM: {max(history['val_ssim']):.4f}")
     except KeyboardInterrupt as e:
         print(f"\n\nTraining interrupted ({e or 'user'}).")
         print("Saving checkpoint...")
