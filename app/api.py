@@ -116,15 +116,21 @@ class SRService:
             from facesr.parallel.serving import MicroBatcher
 
             def raw_batched(m_):
-                # pad every cohort to the one compiled batch size: the raw
-                # model jit retraces per input shape, and cohort sizes vary
-                # with request arrival — padding keeps ONE compile instead
-                # of a multi-second spike per new size on the hot path
+                # pad each cohort to the next power of two (capped at mb):
+                # the raw model jit retraces per input shape, so padding
+                # bounds compiles at log2(mb)+1 sizes instead of one per
+                # distinct arrival count — while a lone request still pays
+                # only a batch-1 forward rather than an mb-sized one
+                # (ADVICE r2: full-mb padding made low-concurrency
+                # micro-batching strictly worse than unbatched serving)
                 def fn(b):
                     k = b.shape[0]
-                    if k < mb:
+                    target = 1
+                    while target < min(k, mb):
+                        target *= 2
+                    if k < target:
                         b = np.concatenate(
-                            [b, np.repeat(b[-1:], mb - k, axis=0)], axis=0)
+                            [b, np.repeat(b[-1:], target - k, axis=0)], axis=0)
                     return np.clip(np.asarray(m_(jnp.asarray(b))), 0, 1)[:k]
                 return fn
 

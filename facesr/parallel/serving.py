@@ -184,11 +184,19 @@ class SpatialPredictor:
 
         self._forward = forward
         self._by_n: dict = {}  # n_devices_used -> (jitted fwd, params, sharding)
+        self._warned_h: set = set()  # H values already warned about
 
     def _plan(self, h: int):
         n = self.n_devices
         while h % n:
             n -= 1
+        if n < self.n_devices and h not in self._warned_h:
+            # loud, else a prime H silently serves single-chip (VERDICT r2)
+            self._warned_h.add(h)
+            print(f"SpatialPredictor: H={h} not divisible by the "
+                  f"{self.n_devices}-device mesh — serving this shape on "
+                  f"{n} device(s). Pad/resize inputs to a multiple of "
+                  f"{self.n_devices} rows to use the whole mesh.")
         if n not in self._by_n:
             from facesr.parallel.mesh import replicated
 
@@ -428,13 +436,28 @@ class MicroBatcher:
             try:
                 batch = np.stack([i["x"] for i in cohort])
                 out = np.asarray(self.fn(batch))
-                self.calls += 1
-                self.images += len(cohort)
+                with self._lock:  # /health reads calls/images as a pair
+                    self.calls += 1
+                    self.images += len(cohort)
                 for idx, item in enumerate(cohort):
                     item["out"] = out[idx]
-            except Exception as e:  # deliver the failure to every caller
+            except Exception as batch_err:
+                # One poisoned request must not fail innocent co-batched
+                # callers: retry each image alone so only the offender(s)
+                # see an error. A 1-image cohort already WAS the per-image
+                # attempt — error it without a pointless identical retry.
                 for item in cohort:
-                    item["err"] = e
+                    if len(cohort) == 1:
+                        item["err"] = batch_err
+                        continue
+                    try:
+                        out = np.asarray(self.fn(item["x"][None]))
+                        with self._lock:
+                            self.calls += 1
+                            self.images += 1
+                        item["out"] = out[0]
+                    except Exception as e:
+                        item["err"] = e
             finally:
                 for item in cohort:
                     item["done"].set()

@@ -25,6 +25,7 @@ where model_name is the checkpoint's friendly name lowercased/underscored
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -88,14 +89,24 @@ def main():
           f"({calib.shape[1]}x{calib.shape[2]} LR)...")
 
     out = Path(args.output)
-    if out.exists():
-        # calibrated_qparams treats an existing cache_path as a cache HIT
-        # and would return the OLD model's kernels without recalibrating —
-        # an export must always re-export
-        print(f"Overwriting existing artifact {out}")
-        out.unlink()
-    calibrated_qparams(model.params, model.apply_fn, calib,
-                       max_batch=max(len(calib), 1), cache_path=args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    # Calibrate into a temp path and move it over the output only on
+    # success: calibrated_qparams treats an existing cache_path as a cache
+    # HIT (so exports must not reuse the final path), and unlinking the old
+    # artifact up front would destroy a good artifact if calibration then
+    # fails mid-way (unreadable image past the guard, OOM, ...).
+    tmp = out.with_name(out.name + ".tmp")
+    if tmp.exists():
+        tmp.unlink()
+    try:
+        calibrated_qparams(model.params, model.apply_fn, calib,
+                           max_batch=max(len(calib), 1), cache_path=str(tmp))
+        if out.exists():
+            print(f"Replacing existing artifact {out}")
+        os.replace(tmp, out)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
     size = out.stat().st_size / 1e6
     print(f"Wrote calibrated int8 tree to {args.output} ({size:.1f} MB)")
     stem = Path(args.checkpoint).stem.lower().replace(" ", "_")

@@ -179,23 +179,29 @@ def main():
             seed=seed,
         )
     else:
+        # fallbacks match PairedTransform's documented defaults so the
+        # effective jitter does not depend on which entry path built the
+        # loader; printed below so runs whose YAML omits keys are
+        # attributable to the exact augmentation they trained with
+        eff_aug = dict(
+            horizontal_flip=aug_config.get("horizontal_flip", 0.5),
+            random_rotate90=aug_config.get("random_rotate90", 0.0),
+            color_jitter_prob=color_jitter.get("probability", 0.3),
+            brightness=color_jitter.get("brightness", 0.1),
+            contrast=color_jitter.get("contrast", 0.1),
+            saturation=color_jitter.get("saturation", 0.1),
+            hue=color_jitter.get("hue", 0.05),
+        )
+        print("Effective augmentation: "
+              + ", ".join(f"{k}={v}" for k, v in eff_aug.items()))
         train_loader = get_dataloader(
             data_root,
             mode="train",
             batch_size=batch_size,
             num_workers=data_config.get("num_workers", 4),
             hr_patch_size=hr_patch,
-            horizontal_flip=aug_config.get("horizontal_flip", 0.5),
-            random_rotate90=aug_config.get("random_rotate90", 0.0),
-            color_jitter_prob=color_jitter.get("probability", 0.3),
-            brightness=color_jitter.get("brightness", 0.1),
-            contrast=color_jitter.get("contrast", 0.1),
-            # fallbacks match PairedTransform's documented defaults so the
-            # effective jitter does not depend on which entry path built
-            # the loader
-            saturation=color_jitter.get("saturation", 0.1),
-            hue=color_jitter.get("hue", 0.05),
             seed=seed,
+            **eff_aug,
         )
     val_loader = get_dataloader(
         data_root,

@@ -184,6 +184,48 @@ def test_microbatcher_batches_and_matches_serial():
         mb.close()
 
 
+def test_microbatcher_poisoned_request_spares_cohort():
+    """One poisoned request must not fail innocent co-batched callers:
+    the failed cohort is retried per-image, so only the offender errors
+    (ADVICE r2)."""
+    from facesr.parallel.serving import MicroBatcher
+
+    def fn(batch):
+        if float(batch.max()) > 10.0:
+            raise ValueError("poisoned")
+        return batch + 1.0
+
+    mb = MicroBatcher(fn, max_batch=8, window_ms=200.0)
+    try:
+        rng = np.random.default_rng(1)
+        good = [rng.random((4, 4, 3)).astype(np.float32) for _ in range(3)]
+        bad = np.full((4, 4, 3), 99.0, np.float32)
+        results = [None] * 4
+        errors = [None] * 4
+
+        def call(i, img):
+            try:
+                results[i] = mb(img)
+            except Exception as e:
+                errors[i] = e
+
+        threads = [threading.Thread(target=call, args=(i, img))
+                   for i, img in enumerate(good + [bad])]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(3):
+            assert errors[i] is None, f"innocent caller {i} failed: {errors[i]}"
+            np.testing.assert_array_equal(results[i], good[i] + 1.0)
+        assert isinstance(errors[3], ValueError)
+        # counters stayed consistent across the retry path (cohort
+        # composition is timing-dependent; only images is deterministic)
+        assert mb.images == 3 and 1 <= mb.calls <= 3
+    finally:
+        mb.close()
+
+
 def test_api_microbatched_serving_matches_unbatched(tmp_path):
     # --batch-window-ms: concurrent requests coalesce into one device batch
     # and every client gets the same PNG the unbatched server produces.
