@@ -28,6 +28,7 @@ __all__ = [
     "convert_lpips_weights",
     "convert_inception_state_dict",
     "convert_rrdbnet_state_dict",
+    "convert_transfer_state_dict",
     "load_torch_state_dict",
     "convert_pth",
 ]
@@ -243,12 +244,113 @@ def convert_rrdbnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }
 
 
+def convert_transfer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference TransferSRModel state dict -> facesr transfer params.
+
+    Reference layout (src/models/transfer.py:45-154): a ModuleDict
+    backbone (conv_first + body.{i} RRDBs + conv_body) and a
+    FaceSpecificHead (rcab_blocks.{b} + conv_after + upsample.stages.{s}
+    + conv_last). facesr splits the RRDB body into scan-stacked
+    `body_main` / `body_tail` at STAGE2_UNFREEZE_BLOCKS from the end
+    (facesr.models.transfer.init) — the split is a trainability
+    partition, not an architectural one, so conversion only restacks."""
+    import jax
+    from facesr.models.transfer import STAGE2_UNFREEZE_BLOCKS
+
+    blocks = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"backbone\.body\.(\d+)\.", k))})
+    n_blocks = len(blocks)
+    head_blocks = sorted({int(m.group(1)) for k in sd
+                          if (m := re.match(r"face_head\.rcab_blocks\.(\d+)\.", k))})
+    if (n_blocks == 0 or blocks != list(range(n_blocks))
+            or not head_blocks or head_blocks != list(range(len(head_blocks)))):
+        raise ValueError(
+            f"Unrecognized TransferSRModel state dict (body blocks={blocks}, "
+            f"head blocks={head_blocks}; keys e.g. {sorted(sd)[:3]}) — "
+            f"expected 'backbone.body.<i>.*' + 'face_head.rcab_blocks.<b>.*' "
+            f"keys; strip any 'module.' prefix before converting")
+
+    def rdb(i: int, j: int) -> Dict[str, np.ndarray]:
+        out = {}
+        for c in range(1, 6):
+            pre = f"backbone.body.{i}.rdb{j}.conv{c}"
+            out[f"conv{c}_w"] = sd[f"{pre}.weight"].transpose(2, 3, 1, 0)
+            out[f"conv{c}_b"] = sd[f"{pre}.bias"]
+        return out
+
+    rrdbs = [{"rdb1": rdb(i, 1), "rdb2": rdb(i, 2), "rdb3": rdb(i, 3)}
+             for i in range(n_blocks)]
+    n_tail = min(STAGE2_UNFREEZE_BLOCKS, n_blocks)
+    n_main = n_blocks - n_tail
+
+    def stack(blocks_list):
+        if not blocks_list:
+            return None
+        return jax.tree.map(lambda *xs: np.stack(xs), *blocks_list)
+
+    def rcab(b: int) -> Dict[str, Any]:
+        pre = f"face_head.rcab_blocks.{b}"
+        return {
+            "conv1_w": sd[f"{pre}.conv1.weight"].transpose(2, 3, 1, 0),
+            "conv1_b": sd[f"{pre}.conv1.bias"],
+            "prelu_a": sd[f"{pre}.prelu.weight"],
+            "conv2_w": sd[f"{pre}.conv2.weight"].transpose(2, 3, 1, 0),
+            "conv2_b": sd[f"{pre}.conv2.bias"],
+            "ca": {
+                "fc1_w": sd[f"{pre}.channel_attention.fc.0.weight"].T,
+                "fc2_w": sd[f"{pre}.channel_attention.fc.2.weight"].T,
+            },
+        }
+
+    num_stages = len({int(m.group(1)) for k in sd
+                      if (m := re.match(r"face_head\.upsample\.stages\.(\d+)\.", k))})
+    upsample = [{
+        "conv_w": sd[f"face_head.upsample.stages.{s}.conv.weight"].transpose(2, 3, 1, 0),
+        "conv_b": sd[f"face_head.upsample.stages.{s}.conv.bias"],
+        "prelu_a": sd[f"face_head.upsample.stages.{s}.prelu.weight"],
+    } for s in range(num_stages)]
+
+    return {
+        "backbone": {
+            "conv_first": _conv(sd, "backbone.conv_first"),
+            "body_main": stack(rrdbs[:n_main]),
+            "body_tail": stack(rrdbs[n_main:]),
+            "conv_body": _conv(sd, "backbone.conv_body"),
+        },
+        "face_head": {
+            "rcabs": stack([rcab(b) for b in head_blocks]),
+            "conv_after": _conv(sd, "face_head.conv_after"),
+            "upsample": upsample,
+            "conv_last": _conv(sd, "face_head.conv_last"),
+        },
+    }
+
+
+def infer_transfer_config(params: Dict[str, Any]):
+    """TransferModelConfig from converted parameter shapes (self-describing
+    checkpoints, like infer_model_config_from_params for the custom net)."""
+    from facesr.models.transfer import TransferModelConfig
+
+    bb = params["backbone"]
+    n_main = (0 if bb["body_main"] is None
+              else int(np.asarray(bb["body_main"]["rdb1"]["conv1_w"]).shape[0]))
+    n_tail = (0 if bb["body_tail"] is None
+              else int(np.asarray(bb["body_tail"]["rdb1"]["conv1_w"]).shape[0]))
+    hd = params["face_head"]
+    return TransferModelConfig(
+        backbone_blocks=n_main + n_tail,
+        head_blocks=int(np.asarray(hd["rcabs"]["conv1_w"]).shape[0]),
+        head_channels=int(np.asarray(bb["conv_first"]["w"]).shape[-1]),
+        scale_factor=2 ** len(hd["upsample"]),
+    )
+
+
 def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
                 extra_pth: Optional[str] = None) -> None:
     """CLI-style one-shot conversion to a facesr checkpoint file.
 
     kind: 'custom' | 'vgg19' | 'lpips' (extra_pth = lpips lin heads) |
-    'rrdbnet' | 'inception' (FID backbone).
+    'rrdbnet' | 'inception' (FID backbone) | 'transfer' (TransferSRModel).
     """
     from facesr.ckpt.checkpoint import save_checkpoint
 
@@ -275,6 +377,14 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
     elif kind == "rrdbnet":
         save_checkpoint(out_path, {"params": convert_rrdbnet_state_dict(sd)},
                         {"model_type": "esrgan", "converted_from": pth_path})
+    elif kind == "transfer":
+        from dataclasses import asdict
+
+        params = convert_transfer_state_dict(sd)
+        cfg = infer_transfer_config(params)
+        save_checkpoint(out_path, {"params": params},
+                        {"model_type": "transfer", "config": asdict(cfg),
+                         "converted_from": pth_path})
     elif kind == "inception":
         save_checkpoint(out_path, convert_inception_state_dict(sd),
                         {"model_type": "inception_fid", "converted_from": pth_path})
@@ -290,7 +400,8 @@ if __name__ == "__main__":
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--kind", default="custom",
-                   choices=["custom", "vgg19", "lpips", "rrdbnet", "inception"])
+                   choices=["custom", "vgg19", "lpips", "rrdbnet", "inception",
+                            "transfer"])
     p.add_argument("--extra", default=None, help="lpips lin-heads .pth")
     a = p.parse_args()
     convert_pth(a.input, a.output, a.kind, a.extra)

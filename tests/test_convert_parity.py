@@ -448,3 +448,136 @@ def test_converter_strictness_and_weight_gates(tmp_path, monkeypatch):
     shared = RRDBNetConfig(num_blocks=1, num_feat=16, num_grow_ch=8)
     RRDBNet(shared, num_feat=8)
     assert shared.num_feat == 16  # caller's config untouched
+
+
+# -- transfer model (ESRGAN backbone + face head) ----------------------------
+
+def make_transfer_state_dict(nf=8, gc=4, n_body=6, n_head=2, seed=21):
+    """Random TransferSRModel state dict with the reference's key names
+    (reference src/models/transfer.py:45-154)."""
+    rng = np.random.default_rng(seed)
+    t = lambda *s: torch.from_numpy((rng.standard_normal(s) * 0.05).astype(np.float32))
+    sd = {}
+    sd["backbone.conv_first.weight"] = t(nf, 3, 3, 3)
+    sd["backbone.conv_first.bias"] = t(nf)
+    chans = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    outs = [gc, gc, gc, gc, nf]
+    for i in range(n_body):
+        for j in (1, 2, 3):
+            for c in range(5):
+                sd[f"backbone.body.{i}.rdb{j}.conv{c + 1}.weight"] = t(outs[c], chans[c], 3, 3)
+                sd[f"backbone.body.{i}.rdb{j}.conv{c + 1}.bias"] = t(outs[c])
+    sd["backbone.conv_body.weight"] = t(nf, nf, 3, 3)
+    sd["backbone.conv_body.bias"] = t(nf)
+    cr = max(nf // 4, 8)
+    for b in range(n_head):
+        pre = f"face_head.rcab_blocks.{b}"
+        sd[f"{pre}.conv1.weight"] = t(nf, nf, 3, 3)
+        sd[f"{pre}.conv1.bias"] = t(nf)
+        sd[f"{pre}.prelu.weight"] = torch.full((nf,), 0.25) + t(nf) * 0.1
+        sd[f"{pre}.conv2.weight"] = t(nf, nf, 3, 3)
+        sd[f"{pre}.conv2.bias"] = t(nf)
+        sd[f"{pre}.channel_attention.fc.0.weight"] = t(cr, nf)
+        sd[f"{pre}.channel_attention.fc.2.weight"] = t(nf, cr)
+    sd["face_head.conv_after.weight"] = t(nf, nf, 3, 3)
+    sd["face_head.conv_after.bias"] = t(nf)
+    for s in range(2):
+        sd[f"face_head.upsample.stages.{s}.conv.weight"] = t(nf * 4, nf, 3, 3)
+        sd[f"face_head.upsample.stages.{s}.conv.bias"] = t(nf * 4)
+        sd[f"face_head.upsample.stages.{s}.prelu.weight"] = torch.full((nf,), 0.25)
+    sd["face_head.conv_last.weight"] = t(3, nf, 3, 3)
+    sd["face_head.conv_last.bias"] = t(3)
+    return sd
+
+
+def torch_transfer_forward(sd, x, n_body=6, n_head=2):
+    """TransferSRModel forward per the reference semantics
+    (transfer.py:246-269 + FaceSpecificHead:79-91)."""
+    conv = lambda h, name: F.conv2d(h, sd[f"{name}.weight"], sd[f"{name}.bias"], padding=1)
+    lrelu = lambda h: F.leaky_relu(h, 0.2)
+
+    def rdb(pre, h):
+        x1 = lrelu(conv(h, f"{pre}.conv1"))
+        x2 = lrelu(conv(torch.cat([h, x1], 1), f"{pre}.conv2"))
+        x3 = lrelu(conv(torch.cat([h, x1, x2], 1), f"{pre}.conv3"))
+        x4 = lrelu(conv(torch.cat([h, x1, x2, x3], 1), f"{pre}.conv4"))
+        x5 = conv(torch.cat([h, x1, x2, x3, x4], 1), f"{pre}.conv5")
+        return h + 0.2 * x5
+
+    with torch.no_grad():
+        feat = conv(x, "backbone.conv_first")
+        body = feat
+        for i in range(n_body):
+            h = rdb(f"backbone.body.{i}.rdb1", body)
+            h = rdb(f"backbone.body.{i}.rdb2", h)
+            h = rdb(f"backbone.body.{i}.rdb3", h)
+            body = body + 0.2 * h
+        feat = feat + conv(body, "backbone.conv_body")
+        # face head
+        residual = feat
+        h = feat
+        for b in range(n_head):
+            pre = f"face_head.rcab_blocks.{b}"
+            o = conv(h, f"{pre}.conv1")
+            o = F.prelu(o, sd[f"{pre}.prelu.weight"])
+            o = conv(o, f"{pre}.conv2")
+            y = o.mean(dim=(2, 3))
+            y = F.relu(y @ sd[f"{pre}.channel_attention.fc.0.weight"].T)
+            y = torch.sigmoid(y @ sd[f"{pre}.channel_attention.fc.2.weight"].T)
+            o = o * y[:, :, None, None]
+            h = h + o * 0.2
+        h = conv(h, "face_head.conv_after") + residual
+        for s in range(2):
+            h = conv(h, f"face_head.upsample.stages.{s}.conv")
+            h = F.pixel_shuffle(h, 2)
+            h = F.prelu(h, sd[f"face_head.upsample.stages.{s}.prelu.weight"])
+        return conv(h, "face_head.conv_last")
+
+
+def test_transfer_conversion_parity(tmp_path):
+    """Reference TransferSRModel .pth -> convert_pth CLI -> facesr transfer
+    forward, elementwise-checked against the torch-functional oracle.
+    Closes the converter gap for the published 26.97 dB transfer row."""
+    from facesr.ckpt.convert import convert_pth
+    from facesr.models.load import load_any_model
+
+    n_body, n_head = 6, 2  # body_main 2 + body_tail 4 (STAGE2 split)
+    sd = make_transfer_state_dict(n_body=n_body, n_head=n_head)
+    pth = str(tmp_path / "transfer_model.pth")
+    torch.save({"model_state_dict": sd}, pth)
+    out = str(tmp_path / "transfer.fckpt")
+    convert_pth(pth, out, kind="transfer")
+
+    model = load_any_model(out)
+    assert model.config.backbone_blocks == n_body
+    assert model.config.head_blocks == n_head
+    assert model.config.head_channels == 8
+
+    x = np.random.default_rng(22).random((2, 8, 8, 3), dtype=np.float32)
+    want = torch_transfer_forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                  n_body=n_body, n_head=n_head).numpy()
+    got = np.asarray(model(jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_transfer_conversion_small_body_main_none():
+    """n_body <= STAGE2_UNFREEZE_BLOCKS: body_main is None (everything is
+    'tail'); the converter must mirror facesr.models.transfer.init."""
+    from facesr.ckpt import convert as cv
+
+    sd = make_transfer_state_dict(n_body=2, n_head=1, seed=23)
+    params = cv.convert_transfer_state_dict(
+        {k: v.numpy() for k, v in sd.items()})
+    assert params["backbone"]["body_main"] is None
+    assert params["backbone"]["body_tail"]["rdb1"]["conv1_w"].shape[0] == 2
+    cfg = cv.infer_transfer_config(params)
+    assert cfg.backbone_blocks == 2 and cfg.head_blocks == 1
+
+    from facesr.models import transfer as tr
+
+    x = np.random.default_rng(24).random((1, 8, 8, 3), dtype=np.float32)
+    want = torch_transfer_forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                  n_body=2, n_head=1).numpy()
+    got = np.asarray(tr.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x),
+                              cfg)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -295,3 +295,85 @@ def test_train_qat_scales_cli(workdir, tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=300)
     assert proc.returncode != 0
     assert "requires training.qat" in (proc.stderr + proc.stdout)
+
+
+def test_validate_parity_harness_e2e(tmp_path):
+    """The parity-acceptance harness runs end to end TODAY on synthetic
+    oracle-generated .pth fixtures (VERDICT r2 next-round #1): classify +
+    convert every artifact kind, evaluate with the converted LPIPS/FID
+    backends, and pass/fail against a targets file — so real published
+    weights become a one-command acceptance event."""
+    import torch
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_convert_parity import make_state_dict, make_transfer_state_dict
+    from test_convert_parity import _make_alexnet_sd
+    from test_fid_inception import _synthetic_state_dict
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    # every artifact family the harness classifies, in reference containers
+    torch.save({"model_state_dict": make_state_dict(C=16, G=1, B=2, seed=60)},
+               str(art / "custom_gan.pth"))
+    torch.save(make_transfer_state_dict(nf=8, gc=4, n_body=2, n_head=1, seed=61),
+               str(art / "transfer_model.pth"))
+    torch.save(_make_alexnet_sd(seed=62), str(art / "alexnet.pth"))
+    rng = np.random.default_rng(63)
+    lins = {f"lin{i}.model.1.weight":
+            torch.from_numpy(np.abs(rng.standard_normal((1, c, 1, 1))
+                                    ).astype(np.float32) * 0.1)
+            for i, c in enumerate([64, 192, 384, 256, 256])}
+    torch.save(lins, str(art / "lpips_alex.pth"))
+    torch.save({k: torch.from_numpy(v)
+                for k, v in _synthetic_state_dict(seed=64).items()},
+               str(art / "pt_inception.pth"))
+    (art / "garbage.pth").write_bytes(b"not a checkpoint")
+
+    test_dir = tmp_path / "test_hr"
+    test_dir.mkdir()
+    for i in range(5):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(test_dir / f"im_{i}.png"), cv2.GaussianBlur(img, (11, 11), 3))
+
+    base = ["scripts/validate_parity.py", "--artifacts", str(art),
+            "--test-dir", str(test_dir), "--num-images", "5",
+            "--platform", "cpu"]
+    targets = tmp_path / "targets.json"
+
+    # 1) measure-and-emit (self-consistency mode)
+    out1 = run(base + ["--output", str(tmp_path / "o1"),
+                       "--emit-targets", str(targets)], timeout=420)
+    assert "SKIP garbage.pth" in out1
+    emitted = json.loads(targets.read_text())
+    for row in ("Bicubic", "Bilinear", "Lanczos4", "custom_gan",
+                "transfer_model"):
+        assert {"psnr", "ssim", "lpips", "fid"} <= set(emitted["rows"][row])
+
+    # 2) check mode against the just-measured targets: everything PASSes,
+    #    including the int8 serving-delta gates
+    out2 = run(base + ["--output", str(tmp_path / "o2"),
+                       "--targets", str(targets), "--int8",
+                       "--calibrate", "3"], timeout=420)
+    assert "Verdict: PASS" in out2
+    report = json.loads((tmp_path / "o2" / "parity_report.json").read_text())
+    assert report["verdict"] == "PASS"
+    statuses = {(e["row"], e["metric"]): e["status"] for e in report["report"]}
+    assert statuses[("custom_gan", "psnr")] == "PASS"
+    assert statuses[("custom_gan", "fid")] == "INFO"  # no published target
+    assert statuses[("custom_gan [int8]", "delta_psnr")] == "PASS"
+    assert report["int8"]["transfer_model"]["agreement_psnr"] > 20.0
+
+    # 3) a target off by more than the tolerance must FAIL with exit 1
+    bad = json.loads(targets.read_text())
+    bad["rows"]["Bicubic"]["psnr"] += 1.0
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    proc = subprocess.run(
+        [sys.executable, "-u"] + base + [
+            "--output", str(tmp_path / "o3"),
+            "--targets", str(tmp_path / "bad.json")],
+        cwd=REPO, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 1, proc.stdout[-2000:]
+    report3 = json.loads((tmp_path / "o3" / "parity_report.json").read_text())
+    assert report3["verdict"] == "FAIL"
+    fails = [e for e in report3["report"] if e["status"] == "FAIL"]
+    assert [(e["row"], e["metric"]) for e in fails] == [("Bicubic", "psnr")]
