@@ -5,6 +5,7 @@ from facesr.parallel.mesh import (
     replicated,
     batch_sharding,
     row_sharding,
+    grid_sharding,
     tp_param_shardings,
     shard_batch,
     replicate,
@@ -16,6 +17,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "row_sharding",
+    "grid_sharding",
     "tp_param_shardings",
     "shard_batch",
     "replicate",

@@ -23,6 +23,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "row_sharding",
+    "grid_sharding",
     "tp_param_shardings",
     "shard_batch",
     "replicate",
@@ -60,6 +61,18 @@ def row_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
+def grid_sharding(mesh: Mesh, batch_axis: str = "data",
+                  row_axis: str = "space") -> NamedSharding:
+    """2-D NHWC sharding: batch over `batch_axis` AND image rows over
+    `row_axis` — dp x sp composition on a 2-D mesh (e.g. 4x2 over a v5e-8:
+    4-way batch parallelism, each batch shard's rows split across 2 chips).
+    XLA SPMD inserts the conv halo exchanges along the row axis and the
+    gradient all-reduces along both; the train step and serving forward are
+    unchanged code. Exactness vs single-device is gated in
+    tests/test_parallel.py."""
+    return NamedSharding(mesh, P(batch_axis, row_axis))
+
+
 def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Tensor-parallel sharding tree: conv kernels sharded over their
     OUTPUT-channel axis, matching 1-D biases/PReLU alphas sharded too;
@@ -73,6 +86,15 @@ def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
 
     Uses the same attention-path exclusion as the int8 transforms so the
     tiny SE bottlenecks (width C/r, often indivisible) stay replicated.
+
+    The rule is purely path/shape-based, so it applies to a whole
+    `TrainState` too: the optimizer moments (mu/nu) mirror the param tree's
+    paths and shapes and get the SAME shardings as their params, scalars
+    (step counts, injected lr) stay replicated — that IS the tp train step:
+    `jax.jit(step, in_shardings=(tp_param_shardings(state, mesh, axis),
+    batch_sharding(mesh)))` trains with weight gradients and Adam moments
+    sharded alongside the kernels (exactness gated in tests). Composes with
+    dp on a 2-D ("data", "model") mesh.
     """
     # divisibility is against the TARGET axis's size, not the whole mesh —
     # on a 2-D (data, model) mesh only the model axis partitions channels

@@ -510,3 +510,179 @@ def test_tensor_parallel_forward_matches_replicated():
     got = np.asarray(fwd(params_tp, jax.device_put(x, replicated(mesh))))
     want = np.asarray(fen.apply(params, x, cfg, train=False))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_tensor_parallel_train_step_matches_single_device():
+    """tp TRAINING (not just the forward): the content train step with conv
+    kernels AND their Adam moments sharded over output channels must match
+    the single-device step — gradients of sharded params, the global-norm
+    clip's cross-shard reduction, and the optimizer update all ride XLA
+    SPMD. tp_param_shardings applies to the whole TrainState because the
+    moment trees mirror the param paths/shapes."""
+    from facesr.parallel import tp_param_shardings
+
+    rng = np.random.default_rng(10)
+    hr = rng.random((4, 32, 32, 3), dtype=np.float32)
+
+    step1, state1 = _make_step_and_state(mesh=None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh = get_mesh()
+    step_fn_unjit, state_tp = _make_step_and_state(mesh=None)
+    # rebuild the unjitted step with tp shardings on the full state
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    opt_state = set_learning_rate(tx.init(params), 1e-3)
+    state_tp = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                          opt_state=opt_state, loss_params=loss_fn.params)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                        scale_factor=4, compute_dtype=None)
+
+    state_sh = tp_param_shardings(state_tp, mesh)
+    # kernels and their Adam moments share the output-channel sharding
+    from jax.sharding import PartitionSpec as P
+    assert state_sh.params["conv_first"]["w"].spec == P(None, None, None, "data")
+    flat_sh = jax.tree_util.tree_leaves_with_path(state_sh)
+    mu_specs = [s.spec for path, s in flat_sh
+                if any("mu" in str(getattr(p, "name", "")) for p in path)]
+    assert P(None, None, None, "data") in mu_specs  # moments sharded too
+
+    # pure tp: params sharded, data replicated (batch 4 cannot ride the
+    # 8-way axis; the dp x tp composition test shards both). Pin the output
+    # state to the same shardings so step outputs feed the next step
+    # (otherwise XLA may propagate a different layout for some leaves).
+    step_tp = jax.jit(step_fn, in_shardings=(state_sh, replicated(mesh)),
+                      out_shardings=(state_sh, None))
+    state_tp = jax.device_put(state_tp, state_sh)
+    hr_sh = jax.device_put(hr, replicated(mesh))
+    state_tp, m_tp = step_tp(state_tp, hr_sh)
+
+    assert abs(float(m1["loss"]) - float(m_tp["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_first"]["w"]),
+        np.asarray(jax.device_get(state_tp.params)["conv_first"]["w"]),
+        atol=1e-5)
+
+    # second step: sharded optimizer state stays consistent
+    state1, m1b = step1(state1, jnp.asarray(hr))
+    state_tp, m_tpb = step_tp(state_tp, hr_sh)
+    assert abs(float(m1b["loss"]) - float(m_tpb["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
+        np.asarray(jax.device_get(state_tp.params)["conv_last"]["w"]),
+        atol=1e-5)
+
+
+def test_dp_sp_2d_mesh_train_step_matches_single_device():
+    """dp x sp COMPOSITION on a 4x2 mesh: batch sharded over 'data' AND
+    each shard's image rows sharded over 'space' (grid_sharding). One code
+    path — the same train step jitted with a 2-D input sharding; XLA SPMD
+    layers halo exchanges inside row shards under the batch partition."""
+    from facesr.parallel import grid_sharding
+
+    rng = np.random.default_rng(11)
+    hr = rng.random((4, 32, 32, 3), dtype=np.float32)
+
+    step1, state1 = _make_step_and_state(mesh=None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh2d = get_mesh(axis_names=("data", "space"), shape=(4, 2))
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    state2 = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                        opt_state=set_learning_rate(tx.init(params), 1e-3),
+                        loss_params=loss_fn.params)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                        scale_factor=4, compute_dtype=None)
+    step2 = jax.jit(step_fn, in_shardings=(replicated(mesh2d),
+                                           grid_sharding(mesh2d)))
+    state2 = replicate(state2, mesh2d)
+    hr2 = jax.device_put(hr, grid_sharding(mesh2d))
+    state2, m2 = step2(state2, hr2)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
+        np.asarray(jax.device_get(state2.params)["conv_last"]["w"]),
+        atol=1e-5)
+
+    state1, m1b = step1(state1, jnp.asarray(hr))
+    state2, m2b = step2(state2, hr2)
+    assert abs(float(m1b["loss"]) - float(m2b["loss"])) < 1e-5
+
+
+def test_dp_sp_2d_mesh_serving_matches_single_device():
+    """dp x sp serving on the 4x2 mesh: a batch-4 forward with rows also
+    split 2-way must equal the single-device forward exactly."""
+    from facesr.parallel import grid_sharding
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          model.params["conv_last"]["w"].shape) * 0.05
+    )
+    x = np.random.default_rng(12).random((4, 32, 24, 3), dtype=np.float32)
+    want = np.clip(np.asarray(model(jnp.asarray(x))), 0.0, 1.0)
+
+    mesh2d = get_mesh(axis_names=("data", "space"), shape=(4, 2))
+    sh = grid_sharding(mesh2d)
+    fwd = jax.jit(
+        lambda p, x_: jnp.clip(fen.apply(p, x_, cfg, train=False), 0.0, 1.0),
+        in_shardings=(replicated(mesh2d), sh), out_shardings=sh)
+    got = np.asarray(fwd(replicate(model.params, mesh2d),
+                         jax.device_put(x, sh)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_dp_tp_2d_mesh_train_step_matches_single_device():
+    """dp x tp COMPOSITION on a 4x2 ("data", "model") mesh: batch sharded
+    over 'data' while conv kernels + Adam moments shard their output
+    channels over 'model'. The per-axis divisibility is against the model
+    axis (2), not the mesh (8)."""
+    from facesr.parallel import tp_param_shardings
+
+    rng = np.random.default_rng(13)
+    hr = rng.random((4, 32, 32, 3), dtype=np.float32)
+
+    step1, state1 = _make_step_and_state(mesh=None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh2d = get_mesh(axis_names=("data", "model"), shape=(4, 2))
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    state2 = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                        opt_state=set_learning_rate(tx.init(params), 1e-3),
+                        loss_params=loss_fn.params)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                        scale_factor=4, compute_dtype=None)
+
+    state_sh = tp_param_shardings(state2, mesh2d, axis="model")
+    from jax.sharding import PartitionSpec as P
+    assert state_sh.params["conv_first"]["w"].spec == P(None, None, None, "model")
+
+    step2 = jax.jit(step_fn, in_shardings=(state_sh,
+                                           batch_sharding(mesh2d, "data")),
+                    out_shardings=(state_sh, None))
+    state2 = jax.device_put(state2, state_sh)
+    hr2 = jax.device_put(hr, batch_sharding(mesh2d, "data"))
+    state2, m2 = step2(state2, hr2)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_first"]["w"]),
+        np.asarray(jax.device_get(state2.params)["conv_first"]["w"]),
+        atol=1e-5)
+
+    state1, m1b = step1(state1, jnp.asarray(hr))
+    state2, m2b = step2(state2, hr2)
+    assert abs(float(m1b["loss"]) - float(m2b["loss"])) < 1e-5
