@@ -149,6 +149,13 @@ class TrainerConfig:
     # selection run on the EMA weights and `facesr.ckpt.load_model` serves
     # them by default (prefer_ema). Typical: 0.999.
     ema_decay: float = 0.0
+    # Multi-host write discipline: on a multi-process mesh (TPU pod) only
+    # process 0 writes checkpoints / validation grids / W&B — N processes
+    # race-writing the same best_model.fckpt on shared storage corrupts it.
+    # Data stays sharded per host (facesr.data.loader.host_shard); training
+    # state is replicated so process 0's copy IS the global state. Set True
+    # only for per-host local disks that want a copy each.
+    write_all_processes: bool = False
 
 
 class EarlyStopping:
@@ -377,7 +384,14 @@ class Trainer:
             for k in ("d_loss", "g_loss", "d_real", "d_fake"):
                 self.training_history[k] = []
 
-        self.use_wandb = self.config.use_wandb and WANDB_AVAILABLE
+        # one writer per pod: every host computes identical replicated state,
+        # so process 0's copy is the global state (TrainerConfig doc)
+        self.is_writer = (bool(self.config.write_all_processes)
+                          or jax.process_index() == 0)
+        self._warned_nonwriter = False
+
+        self.use_wandb = (self.config.use_wandb and WANDB_AVAILABLE
+                          and self.is_writer)
         if self.use_wandb:
             self._init_wandb()
 
@@ -559,7 +573,7 @@ class Trainer:
                   "stopping are skipped this epoch. Is the val split "
                   "smaller than the batch size?")
         metrics = {k: v / max(num_batches, 1) for k, v in totals.items()}
-        if sample is not None:
+        if sample is not None and self.is_writer:
             try:
                 save_validation_grid(*sample, epoch=self.current_epoch,
                                      save_dir=self.config.log_dir)
@@ -624,7 +638,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, filename: str, is_best: bool = False) -> None:
-        """Reference checkpoint payload (trainer.py:701-723), msgpack format."""
+        """Reference checkpoint payload (trainer.py:701-723), msgpack format.
+
+        No-op on non-writer processes (multi-host write discipline — see
+        TrainerConfig.write_all_processes); covers every caller incl. the
+        SIGTERM/KeyboardInterrupt paths."""
+        if not self.is_writer:
+            if not self._warned_nonwriter:
+                print(f"process {jax.process_index()}: checkpoint writes "
+                      f"delegated to process 0 (write_all_processes=False)")
+                self._warned_nonwriter = True
+            if is_best:
+                print(f"  New best model: {self.best_metric:.4f} "
+                      f"(saved by process 0)")
+            return
         state_dict = serialization.to_state_dict(self.state)
         meta = {
             "epoch": self.current_epoch,
