@@ -40,27 +40,9 @@ import cv2
 
 
 def _load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
-    """Load up to `limit` images as an [N, size, size, 3] float batch in
-    [0,1] (resized INTER_AREA — the scales are per-site scalars, so the
-    calibration shape need not match the serving shape)."""
-    import glob
+    from facesr.parallel.serving import load_calibration_images
 
-    paths = sorted(
-        p for ext in ("png", "jpg", "jpeg", "bmp")
-        for p in glob.glob(os.path.join(calib_dir, f"*.{ext}"))
-    )[:limit]
-    imgs = []
-    for p in paths:
-        bgr = cv2.imread(p, cv2.IMREAD_COLOR)
-        if bgr is None:
-            continue
-        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        if rgb.shape[:2] != (size, size):
-            rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_AREA)
-        imgs.append(rgb.astype(np.float32) / 255.0)
-    if not imgs:
-        raise RuntimeError(f"No readable calibration images in {calib_dir}")
-    return np.stack(imgs)
+    return load_calibration_images(calib_dir, size=size, limit=limit)
 
 
 class SRService:

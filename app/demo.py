@@ -49,6 +49,32 @@ def load_models_from_checkpoints(checkpoint_dir: str = "checkpoints") -> dict:
     return models
 
 
+def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
+                    quant_cache: str = None, max_batch: int = 8) -> dict:
+    """Route every model through ShardedPredictor when a serving dtype is
+    requested — the same production path app/api.py serves (bf16 / int8
+    weight-only / int8_full with optional static-scale calibration). The
+    reference demo only ever serves raw f32 (app/demo.py:268-359); here the
+    demo can exercise the deployed quantized path."""
+    if not dtype or dtype == "f32":
+        return models
+    from facesr.parallel.serving import ShardedPredictor, load_calibration_images
+
+    import jax.numpy as jnp
+
+    calibration = None
+    if calib_dir and dtype == "int8_full":
+        calibration = load_calibration_images(calib_dir)
+    jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
+    return {
+        name: ShardedPredictor(
+            m, dtype=jdtype, max_batch=max_batch, calibration=calibration,
+            quant_cache=(f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
+                         if quant_cache else None))
+        for name, m in models.items()
+    }
+
+
 def _metrics(sr_uint8: np.ndarray, hr_uint8: np.ndarray, lpips_fn=None) -> dict:
     from facesr.evaluation import peak_signal_noise_ratio, structural_similarity
 
@@ -93,7 +119,7 @@ def process_image(image_rgb: np.ndarray, model, lpips_fn=None):
     import jax.numpy as jnp
 
     lr, hr = prepare_inputs(image_rgb)
-    sr = np.asarray(model(jnp.asarray(lr[None])))[0]
+    sr = np.asarray(model(jnp.asarray(lr[None], jnp.float32)))[0]
     sr_uint8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
     lr_uint8 = (np.clip(lr, 0, 1) * 255).round().astype(np.uint8)
     out_size = (sr_uint8.shape[1], sr_uint8.shape[0])
@@ -115,42 +141,63 @@ def process_image(image_rgb: np.ndarray, model, lpips_fn=None):
             "sr": sr_uint8, "hr": hr, "metrics_text": text}
 
 
-def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None):
-    """Build the Gradio Blocks UI (reference :396-501)."""
+def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
+                dtype: str = None, calib_dir: str = None,
+                quant_cache: str = None):
+    """Build the Gradio Blocks UI (reference :396-501): model vs Bicubic vs
+    Lanczos4 side-by-side with per-method metric rows and a validation
+    sample picker (reference :268-393)."""
+    import random
+
     from facesr.evaluation.metrics import LPIPS
 
     models = load_models_from_checkpoints(checkpoint_dir)
     if not models:
         raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
+    models = wrap_predictors(models, dtype, calib_dir, quant_cache)
     lpips_fn = LPIPS()
     model_names = list(models)
 
     samples = []
     if sample_dir and Path(sample_dir).exists():
-        samples = [str(p) for p in sorted(Path(sample_dir).glob("*.png"))[:16]]
+        samples = sorted(
+            str(p) for ext in ("png", "jpg", "jpeg", "bmp")
+            for p in Path(sample_dir).glob(f"*.{ext}"))
 
     def run(image, model_name):
         if image is None:
-            return None, None, None, "Upload an image first."
+            return None, None, None, None, "Upload an image first."
         res = process_image(image, models[model_name], lpips_fn)
-        return res["bicubic"], res["sr"], res["hr"], res["metrics_text"]
+        return (res["bicubic"], res["lanczos"], res["sr"], res["hr"],
+                res["metrics_text"])
+
+    def random_sample():
+        bgr = cv2.imread(random.choice(samples))
+        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
 
     with gr.Blocks(title="Face Super-Resolution (TPU)") as demo:
         gr.Markdown("# Face Super-Resolution — 4x (64 -> 256), TPU-native")
+        if dtype and dtype != "f32":
+            gr.Markdown(f"Serving dtype: `{dtype}`"
+                        + (" (calibrated static scales)" if calib_dir else ""))
         with gr.Row():
             with gr.Column():
                 inp = gr.Image(label="Input image (LR or HR)", type="numpy")
                 model_sel = gr.Dropdown(model_names, value=model_names[0], label="Model")
                 btn = gr.Button("Enhance")
                 if samples:
-                    gr.Examples(samples, inputs=inp, label="Validation samples")
+                    sample_btn = gr.Button("Random validation sample")
+                    gr.Examples(samples[:16], inputs=inp, label="Validation samples")
             with gr.Column():
                 out_bicubic = gr.Image(label="Bicubic")
+                out_lanczos = gr.Image(label="Lanczos4")
                 out_sr = gr.Image(label="Super-Resolution")
                 out_hr = gr.Image(label="Ground truth (if available)")
-                out_text = gr.Textbox(label="Metrics")
+                out_text = gr.Textbox(label="Metrics (per method)")
         btn.click(run, inputs=[inp, model_sel],
-                  outputs=[out_bicubic, out_sr, out_hr, out_text])
+                  outputs=[out_bicubic, out_lanczos, out_sr, out_hr, out_text])
+        if samples:
+            sample_btn.click(random_sample, inputs=[], outputs=[inp])
     return demo
 
 
@@ -165,6 +212,17 @@ def main():
                              "(works without gradio)")
     parser.add_argument("--output", type=str, default="outputs/demo")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default=None,
+                        choices=["f32", "bf16", "int8", "int8_full"],
+                        help="serving dtype: route models through the "
+                             "production ShardedPredictor path (same as "
+                             "app/api.py --dtype)")
+    parser.add_argument("--calib-dir", type=str, default=None,
+                        help="representative LR images for int8_full "
+                             "static activation-scale calibration")
+    parser.add_argument("--quant-cache", type=str, default=None,
+                        help="path prefix persisting calibrated int8 trees "
+                             "so demo restarts skip calibration")
     args = parser.parse_args()
 
     if args.platform:
@@ -179,6 +237,8 @@ def main():
         if not models:
             print(f"No checkpoints in {args.checkpoint_dir}")
             return
+        models = wrap_predictors(models, args.dtype, args.calib_dir,
+                                 args.quant_cache)
         name = next(iter(models))
         bgr = cv2.imread(args.image)
         if bgr is None:
@@ -188,9 +248,10 @@ def main():
         res = process_image(img, models[name], LPIPS())
         out = Path(args.output)
         out.mkdir(parents=True, exist_ok=True)
-        for key in ("lr", "bicubic", "lanczos", "sr"):
-            cv2.imwrite(str(out / f"{key}.png"),
-                        cv2.cvtColor(res[key], cv2.COLOR_RGB2BGR))
+        for key in ("lr", "bicubic", "lanczos", "sr", "hr"):
+            if res.get(key) is not None:
+                cv2.imwrite(str(out / f"{key}.png"),
+                            cv2.cvtColor(res[key], cv2.COLOR_RGB2BGR))
         print(f"[{name}]\n{res['metrics_text']}")
         print(f"Outputs in {out}")
         return
@@ -198,7 +259,9 @@ def main():
     if not GRADIO_AVAILABLE:
         print("gradio is not installed; use --image for headless mode.")
         return
-    demo = create_demo(args.checkpoint_dir, args.sample_dir)
+    demo = create_demo(args.checkpoint_dir, args.sample_dir,
+                       dtype=args.dtype, calib_dir=args.calib_dir,
+                       quant_cache=args.quant_cache)
     demo.launch(server_port=args.port, share=args.share)
 
 

@@ -93,11 +93,45 @@ def test_compare_cli(workdir):
 
 
 def test_demo_headless_cli(workdir):
+    # A 200x200 input takes the has-ground-truth path (center-crop HR,
+    # synthesize LR) so per-method metric rows are produced.
+    raw = next((workdir / "raw").glob("*.png"))
+    out = run(["app/demo.py", "--checkpoint-dir", str(workdir / "ckpt"),
+               "--image", str(raw), "--output", str(workdir / "demo_out"),
+               "--platform", "cpu"])
+    # All comparison panels (reference app/demo.py:268-359) ...
+    for panel in ("lr", "bicubic", "lanczos", "sr", "hr"):
+        assert (workdir / "demo_out" / f"{panel}.png").exists()
+    # ... and a per-method metrics row for each comparison method.
+    for method in ("Bicubic", "Lanczos4", "Model"):
+        assert f"{method}: PSNR" in out
+
+
+def test_demo_headless_lr_input(workdir):
+    """Small inputs are treated as already-LR: SR still produced, no
+    ground truth so no metric rows."""
     hr = next((workdir / "processed" / "test" / "HR").glob("*.png"))
     out = run(["app/demo.py", "--checkpoint-dir", str(workdir / "ckpt"),
-               "--image", str(hr), "--output", str(workdir / "demo_out"),
+               "--image", str(hr), "--output", str(workdir / "demo_out_lr"),
                "--platform", "cpu"])
-    assert (workdir / "demo_out" / "sr.png").exists()
+    assert (workdir / "demo_out_lr" / "sr.png").exists()
+    assert not (workdir / "demo_out_lr" / "hr.png").exists()
+    assert "No ground truth" in out
+
+
+def test_demo_headless_int8(workdir):
+    """The demo serves the production quantized path (--dtype int8_full
+    with calibrated static scales, same plumbing as app/api.py)."""
+    raw = next((workdir / "raw").glob("*.png"))
+    out = run(["app/demo.py", "--checkpoint-dir", str(workdir / "ckpt"),
+               "--image", str(raw),
+               "--output", str(workdir / "demo_out_int8"),
+               "--dtype", "int8_full",
+               "--calib-dir", str(workdir / "processed" / "val" / "LR"),
+               "--platform", "cpu"])
+    for panel in ("bicubic", "lanczos", "sr"):
+        assert (workdir / "demo_out_int8" / f"{panel}.png").exists()
+    assert "Model: PSNR" in out
 
 
 def test_resume_cli(workdir):
