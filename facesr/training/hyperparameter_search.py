@@ -9,19 +9,28 @@ impact analysis (:442-531) and `quick_search` (:534-585).
 
 Each experiment runs a self-contained SINGLE-DEVICE jitted train loop
 (content losses only) — grid points are small/short by design and the
-search parallelizes across experiments, not within one; use the full
+search parallelizes ACROSS experiments, not within one; use the full
 Trainer for sharded runs. Unlike the reference's crude PSNR-derived
 SSIM approximation (:331-333), validation uses the real SSIM.
+
+TPU-first: `run(devices="auto")` pins up to n_devices experiments
+concurrently, one per local device (`jax.device_put` of params + batches
+commits each experiment's whole computation to its device; each thread's
+jitted programs then execute chip-local with no cross-device traffic).
+The reference had one GPU so its sequential loop idled nothing; on an
+8-chip pod the sequential loop would idle 7 chips for the whole search.
 """
 
 from __future__ import annotations
 
 import itertools
 import json
+import queue
+import threading
 import time
 from dataclasses import dataclass, field, asdict
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -62,6 +71,7 @@ class ExperimentResult:
     final_loss: float = float("inf")
     wall_time_s: float = 0.0
     error: str = ""
+    device: str = ""  # "platform:id" that ran the experiment (parallel mode)
 
 
 DEFAULT_GRID = {
@@ -128,7 +138,8 @@ class GridSearchTrainer:
         return configs
 
     # -- one experiment ----------------------------------------------------
-    def _run_experiment(self, cfg: ExperimentConfig) -> ExperimentResult:
+    def _run_experiment(self, cfg: ExperimentConfig,
+                        device=None) -> ExperimentResult:
         from facesr.models import face_enhance_net as fen
         from facesr.losses import combined as fc
         from facesr.losses.ssim import ssim as ssim_fn
@@ -145,7 +156,16 @@ class GridSearchTrainer:
             blocks_per_group=blocks_per_group,
             scale_factor=self.scale_factor,
         )
-        params = fen.init(jax.random.PRNGKey(self.seed), model_cfg)
+        # Committing params (and every batch below) to `device` pins the
+        # whole experiment's computation chip-local: jit follows committed
+        # input placement, so N threads drive N devices with no cross-device
+        # traffic and no sharing of the default device.
+        def pin(x):
+            # device_put handles whole pytrees; with no device the jitted
+            # fns consume numpy/pytrees directly on the default device.
+            return jax.device_put(x, device) if device is not None else x
+
+        params = pin(fen.init(jax.random.PRNGKey(self.seed), model_cfg))
         loss_fn = fc.create_loss_function(
             l1_weight=1.0, perceptual_weight=cfg.perceptual_weight,
             ssim_weight=0.0, perceptual_layers=["conv2_2"],
@@ -180,14 +200,14 @@ class GridSearchTrainer:
         rng = np.random.default_rng(self.seed)
         n = len(self.train_data)
         t0 = time.time()
-        loss = jnp.asarray(0.0)
+        loss = pin(np.float32(0.0))
         for _ in range(cfg.epochs):
             for _ in range(self.steps_per_epoch):
                 idx = rng.integers(0, n, size=min(cfg.batch_size, n))
-                hr = jnp.asarray(self.train_data[idx])
+                hr = pin(self.train_data[idx])
                 params, opt_state, loss = train_step(params, opt_state, hr)
 
-        psnr, ssim_val, _ = eval_step(params, jnp.asarray(self.val_data))
+        psnr, ssim_val, _ = eval_step(params, pin(self.val_data))
         return ExperimentResult(
             config=asdict(cfg),
             status="completed",
@@ -195,29 +215,70 @@ class GridSearchTrainer:
             final_ssim=float(ssim_val),
             final_loss=float(loss),
             wall_time_s=time.time() - t0,
+            device=f"{device.platform}:{device.id}" if device is not None else "",
         )
 
     # -- driver -------------------------------------------------------------
-    def run(self, max_experiments: Optional[int] = None) -> Dict[str, ExperimentResult]:
+    def run(self, max_experiments: Optional[int] = None,
+            devices: Optional[Sequence] = None) -> Dict[str, ExperimentResult]:
+        """Run the grid, persisting after each experiment.
+
+        devices: None = sequential on the default device (reference
+        semantics, hyperparameter_search.py:199-402). "auto" = one
+        concurrent experiment pinned to each local device; or an explicit
+        sequence of `jax.Device`. Each experiment is single-device jit, so
+        worker threads don't contend on the GIL during XLA execution and an
+        8-chip mesh completes 8 grid points in one experiment's wall-clock.
+        """
         configs = self.experiment_configs()
         if max_experiments:
             configs = configs[:max_experiments]
-        print(f"Grid search: {len(configs)} experiments")
+        if devices == "auto":
+            devices = jax.local_devices()
+        n_workers = min(len(devices), len(configs)) if devices else 1
+        print(f"Grid search: {len(configs)} experiments"
+              + (f" on {n_workers} devices" if n_workers > 1 else ""))
 
-        for i, cfg in enumerate(configs):
-            if self.results.get(cfg.experiment_id, ExperimentResult()).status == "completed":
-                print(f"[{i + 1}/{len(configs)}] {cfg.experiment_id}: skipped (completed)")
-                continue
-            print(f"[{i + 1}/{len(configs)}] {cfg.experiment_id}: running...")
-            try:
-                result = self._run_experiment(cfg)
-                print(f"    PSNR {result.final_psnr:.2f} dB, "
-                      f"SSIM {result.final_ssim:.4f}, {result.wall_time_s:.1f}s")
-            except Exception as e:  # mark failed, keep going (reference :380-402)
-                result = ExperimentResult(config=asdict(cfg), status="failed", error=str(e))
-                print(f"    FAILED: {e}")
-            self.results[cfg.experiment_id] = result
-            self._save_results()
+        lock = threading.Lock()
+        work: "queue.Queue" = queue.Queue()
+        for item in enumerate(configs):
+            work.put(item)
+
+        def worker(device) -> None:
+            while True:
+                try:
+                    i, cfg = work.get_nowait()
+                except queue.Empty:
+                    return
+                with lock:
+                    prev = self.results.get(cfg.experiment_id, ExperimentResult())
+                if prev.status == "completed":
+                    print(f"[{i + 1}/{len(configs)}] {cfg.experiment_id}: "
+                          "skipped (completed)")
+                    continue
+                where = f" on {device.platform}:{device.id}" if device is not None else ""
+                print(f"[{i + 1}/{len(configs)}] {cfg.experiment_id}: running{where}...")
+                try:
+                    result = self._run_experiment(cfg, device=device)
+                    print(f"    PSNR {result.final_psnr:.2f} dB, "
+                          f"SSIM {result.final_ssim:.4f}, {result.wall_time_s:.1f}s")
+                except Exception as e:  # mark failed, keep going (reference :380-402)
+                    result = ExperimentResult(config=asdict(cfg), status="failed",
+                                              error=str(e))
+                    print(f"    FAILED: {e}")
+                with lock:
+                    self.results[cfg.experiment_id] = result
+                    self._save_results()
+
+        if n_workers == 1:
+            worker(devices[0] if devices else None)
+        else:
+            threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+                       for d in list(devices)[:n_workers]]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
         return self.results
 
     # -- analysis (reference :442-531) ---------------------------------------
@@ -252,8 +313,8 @@ class GridSearchTrainer:
 
 
 def quick_search(train_data, val_data, results_path: str = "outputs/grid_search/quick.json",
-                 **kwargs) -> GridSearchTrainer:
-    """Reduced grid (reference :534-585)."""
+                 devices: Optional[Sequence] = "auto", **kwargs) -> GridSearchTrainer:
+    """Reduced grid (reference :534-585); mesh-parallel by default."""
     grid = {
         "learning_rate": [1e-3, 1e-4],
         "batch_size": [8],
@@ -262,5 +323,5 @@ def quick_search(train_data, val_data, results_path: str = "outputs/grid_search/
     }
     searcher = GridSearchTrainer(train_data, val_data, grid=grid,
                                  results_path=results_path, **kwargs)
-    searcher.run()
+    searcher.run(devices=devices)
     return searcher

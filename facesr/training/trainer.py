@@ -22,6 +22,7 @@ W&B is optional and import-guarded exactly like the reference
 from __future__ import annotations
 
 import json
+import sys
 import time
 from dataclasses import dataclass, asdict, field
 from pathlib import Path
@@ -112,6 +113,12 @@ class TrainerConfig:
 
     log_every: int = 100
     log_images_every: int = 5
+    # Console liveness: print a one-line "step i/N loss x" postfix every N
+    # steps (reference's tqdm postfix, trainer.py:407-521, without its
+    # per-batch host sync — the print rides a sync the dispatch throttle
+    # pays anyway). 0 = per-epoch prints only. Overwrites in place on a
+    # tty; plain lines when redirected to a log file.
+    step_log_every: int = 25
     # Sample per-layer gradient norms every N steps into a GradientMonitor
     # (+ W&B when enabled) — the reference's wandb.watch(log='gradients',
     # log_freq=100) equivalent (trainer.py:324). 0 = off: the step is built
@@ -525,9 +532,18 @@ class Trainer:
                 if self.use_wandb:
                     wandb.log({f"grads/{k}": v for k, v in layer_norms.items()}
                               | {"train/step": self.global_step})
-            if num_batches % 8 == 0:
+            postfix_due = (self.config.step_log_every > 0
+                           and num_batches % self.config.step_log_every == 0)
+            if num_batches % 8 == 0 or postfix_due:
                 jax.block_until_ready(metrics["loss"])
-                float(metrics["loss"])
+                loss_now = float(metrics["loss"])
+                if postfix_due:
+                    total = f"/{len(self.train_loader)}" if hasattr(
+                        self.train_loader, "__len__") else ""
+                    print(f"  step {num_batches}{total} "
+                          f"loss {loss_now:.4f}",
+                          end="\r" if sys.stdout.isatty() else "\n",
+                          flush=True)
             if self.use_wandb and self.global_step % self.config.log_every == 0:
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 wandb.log({f"train/{k}": v for k, v in metrics_host.items()}

@@ -97,3 +97,54 @@ def test_grid_search_run_and_resume(tmp_path):
     impact = gs2.impact_analysis()
     assert "learning_rate" in impact and len(impact["learning_rate"]) == 2
     assert gs2.best() is not None
+
+
+def test_grid_search_mesh_parallel(tmp_path):
+    """devices='auto' pins concurrent experiments to distinct devices and
+    reproduces the sequential results (same seeds -> same math per
+    experiment; only the placement changes)."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    train = rng.random((8, 16, 16, 3)).astype(np.float32)
+    val = rng.random((4, 16, 16, 3)).astype(np.float32)
+    grid = {
+        "learning_rate": [1e-3, 1e-4],
+        "batch_size": [4],
+        "perceptual_weight": [0.0],
+        "num_rcab_blocks": [2, 4],
+    }
+
+    gs_seq = GridSearchTrainer(train, val, grid=grid, steps_per_epoch=2,
+                               results_path=str(tmp_path / "seq.json"))
+    seq = gs_seq.run()
+
+    gs_par = GridSearchTrainer(train, val, grid=grid, steps_per_epoch=2,
+                               results_path=str(tmp_path / "par.json"))
+    par = gs_par.run(devices="auto")
+
+    assert len(par) == 4
+    assert all(r.status == "completed" for r in par.values())
+    # 4 experiments over the 8-device conftest mesh: each on its own device.
+    used = {r.device for r in par.values()}
+    assert len(used) == 4 and all(d for d in used)
+    # Same math regardless of placement (virtual devices share one CPU
+    # backend, so the programs are identical -> results match tightly).
+    for k in seq:
+        assert abs(seq[k].final_psnr - par[k].final_psnr) < 1e-3
+        assert abs(seq[k].final_ssim - par[k].final_ssim) < 1e-4
+
+    # JSON resume still works in parallel mode: everything skips.
+    gs3 = GridSearchTrainer(train, val, grid=grid, steps_per_epoch=2,
+                            results_path=str(tmp_path / "par.json"))
+    t0 = __import__("time").time()
+    again = gs3.run(devices="auto")
+    assert __import__("time").time() - t0 < 5.0
+    assert all(r.status == "completed" for r in again.values())
+
+    # Explicit device list caps the worker count.
+    gs4 = GridSearchTrainer(train, val, grid=grid, steps_per_epoch=2,
+                            results_path=str(tmp_path / "two.json"))
+    two = gs4.run(devices=jax.local_devices()[:2])
+    assert {r.device for r in two.values()} <= {
+        f"{d.platform}:{d.id}" for d in jax.local_devices()[:2]}
