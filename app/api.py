@@ -108,8 +108,14 @@ class SRService:
                 def fn(b):
                     k = b.shape[0]
                     target = 1
-                    while target < min(k, mb):
+                    while target < k:
                         target *= 2
+                    # never dispatch beyond the configured max batch: for a
+                    # non-power-of-two mb the top compile size is mb itself
+                    # (sizes {1, 2, ..., next_pow2(mb)/2, mb}), not
+                    # next_pow2(mb) — which would exceed the operator's
+                    # device-memory budget
+                    target = min(target, mb)
                     if k < target:
                         b = np.concatenate(
                             [b, np.repeat(b[-1:], target - k, axis=0)], axis=0)

@@ -172,14 +172,22 @@ def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
                 res["metrics_text"])
 
     def random_sample():
-        bgr = cv2.imread(random.choice(samples))
-        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        # tolerate corrupt files in the sample dir (globbed by extension
+        # only) — skip unreadable picks instead of crashing the callback
+        for path in random.sample(samples, k=min(len(samples), 8)):
+            bgr = cv2.imread(path)
+            if bgr is not None:
+                return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        return None
 
     with gr.Blocks(title="Face Super-Resolution (TPU)") as demo:
         gr.Markdown("# Face Super-Resolution — 4x (64 -> 256), TPU-native")
         if dtype and dtype != "f32":
+            # calibration only applies to the int8_full path (wrap_predictors
+            # ignores --calib-dir otherwise) — don't claim it elsewhere
             gr.Markdown(f"Serving dtype: `{dtype}`"
-                        + (" (calibrated static scales)" if calib_dir else ""))
+                        + (" (calibrated static scales)"
+                           if calib_dir and dtype == "int8_full" else ""))
         with gr.Row():
             with gr.Column():
                 inp = gr.Image(label="Input image (LR or HR)", type="numpy")

@@ -85,7 +85,12 @@ def drain(loader, batch_key: str = "hr"):
     excludes the first batch (thread-pool ramp + prefetch fill)."""
     it = iter(loader)
     t0 = time.perf_counter()
-    first = next(it)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise SystemExit(
+            "loader yielded zero batches — batch size larger than the "
+            "corpus under drop_last; lower --batch or raise --num-images")
     t1 = time.perf_counter()
     n = len(first[batch_key])
     for batch in it:

@@ -115,10 +115,11 @@ class TrainerConfig:
     log_images_every: int = 5
     # Console liveness: print a one-line "step i/N loss x" postfix every N
     # steps (reference's tqdm postfix, trainer.py:407-521, without its
-    # per-batch host sync — the print rides a sync the dispatch throttle
-    # pays anyway). 0 = per-epoch prints only. Overwrites in place on a
-    # tty; plain lines when redirected to a log file.
-    step_log_every: int = 25
+    # per-batch host sync). Multiples of 8 ride the sync the dispatch
+    # throttle pays anyway (hence the default); other cadences add their
+    # own host round trip at each print. 0 = per-epoch prints only.
+    # Overwrites in place on a tty; plain lines when redirected to a file.
+    step_log_every: int = 24
     # Sample per-layer gradient norms every N steps into a GradientMonitor
     # (+ W&B when enabled) — the reference's wandb.watch(log='gradients',
     # log_freq=100) equivalent (trainer.py:324). 0 = off: the step is built

@@ -281,7 +281,7 @@ def main():
         save_every=checkpoint_config.get("save_every", 10),
         save_best=checkpoint_config.get("save_best", True),
         log_every=console_config.get("log_every", 100),
-        step_log_every=console_config.get("step_log_every", 25),
+        step_log_every=console_config.get("step_log_every", 24),
         log_images_every=wandb_config.get("log_images_every", 5),
         log_gradients_every=logging_config.get("log_gradients_every", 0),
         use_wandb=use_wandb,

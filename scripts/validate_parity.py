@@ -119,7 +119,15 @@ def discover_and_convert(artifacts_dir: Path, work_dir: Path):
         convert_kind = {"rrdbnet": "rrdbnet", "custom": "custom",
                         "transfer": "transfer", "vgg19": "vgg19",
                         "inception": "inception"}[kind]
-        convert_pth(str(pth), str(out), kind=convert_kind)
+        try:
+            convert_pth(str(pth), str(out), kind=convert_kind)
+        except Exception as e:
+            # A classifiable-but-malformed artifact (truncated tensors,
+            # missing keys) must not abort the whole harness — same
+            # SKIP-and-continue contract as unreadable files above.
+            print(f"  SKIP {pth.name}: conversion failed ({e})")
+            inv["skipped"].append(pth.name)
+            continue
         if kind in ("custom", "transfer", "rrdbnet"):
             inv["models"][pth.stem] = out
         elif kind == "vgg19":
@@ -180,6 +188,9 @@ def evaluate_methods(inv, test_dir: Path, num_images: int, scale: int,
         oy, ox = (h.shape[0] % scale) // 2, (h.shape[1] % scale) // 2
         hrs.append(h[oy:oy + h.shape[0] // scale * scale,
                      ox:ox + h.shape[1] // scale * scale])
+    if not hrs:
+        raise SystemExit(f"No readable test images in {test_dir} "
+                         f"({len(files)} files, all failed to decode)")
     lrs = synthesize_lr_batched(hrs, scale)
     lrs_u8 = [(np.clip(l, 0, 1) * 255).round().astype(np.uint8) for l in lrs]
 
@@ -287,10 +298,23 @@ def match_target(name: str, targets: dict):
     return None
 
 
-def build_report(rows, targets, tols, int8_rows, int8_max_drop):
+def build_report(rows, targets, tols, int8_rows, int8_max_drop,
+                 model_names=()):
     report, any_fail = [], False
     for name, measured in rows.items():
         tkey = match_target(name, targets)
+        if tkey is None and name in model_names:
+            # An SR model row that matched no target would otherwise become
+            # all-INFO and the harness would print PASS without having
+            # validated the one thing it exists to validate. Fail loudly:
+            # the fix is --targets (or --emit-targets to record this model
+            # as its own target) or naming the checkpoint after its row.
+            print(f"  ERROR: model '{name}' matched no target row "
+                  f"({sorted(targets)}); use --targets or --emit-targets")
+            report.append({"row": name, "metric": "target-match",
+                           "measured": float("nan"),
+                           "status": "NO_TARGET"})
+            any_fail = True
         for metric in ("psnr", "ssim", "lpips", "fid"):
             if metric not in measured:
                 continue
@@ -418,7 +442,8 @@ def main():
             tols[metric] = override
 
     report, any_fail = build_report(rows, targets, tols, int8_rows,
-                                    args.int8_max_drop)
+                                    args.int8_max_drop,
+                                    model_names=set(inv["models"]))
     print_table(report)
     if fid_note:
         print(f"\nNote: {fid_note}")

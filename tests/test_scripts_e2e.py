@@ -411,3 +411,30 @@ def test_validate_parity_harness_e2e(tmp_path):
     assert report3["verdict"] == "FAIL"
     fails = [e for e in report3["report"] if e["status"] == "FAIL"]
     assert [(e["row"], e["metric"]) for e in fails] == [("Bicubic", "psnr")]
+
+
+def test_validate_parity_unmatched_model_fails():
+    """A model row whose name matches no target must fail loudly (NO_TARGET),
+    never silently become all-INFO and print PASS (self-review r3)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "validate_parity", REPO / "scripts" / "validate_parity.py")
+    vp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vp)
+
+    rows = {"Bicubic": {"psnr": 26.31, "ssim": 0.7861},
+            "best_model": {"psnr": 27.0, "ssim": 0.80}}
+    report, any_fail = vp.build_report(
+        rows, vp.DEFAULT_TARGETS, vp.DEFAULT_TOLERANCES, {}, 0.5,
+        model_names={"best_model"})
+    assert any_fail
+    assert any(e["row"] == "best_model" and e["status"] == "NO_TARGET"
+               for e in report)
+    # the stem-matched case still resolves and passes normally
+    rows2 = {"custom_gan": {"psnr": 26.39, "ssim": 0.7734}}
+    report2, fail2 = vp.build_report(
+        rows2, vp.DEFAULT_TARGETS, vp.DEFAULT_TOLERANCES, {}, 0.5,
+        model_names={"custom_gan"})
+    assert not fail2
+    assert all(e["status"] == "PASS" for e in report2)
