@@ -686,3 +686,57 @@ def test_dp_tp_2d_mesh_train_step_matches_single_device():
     state1, m1b = step1(state1, jnp.asarray(hr))
     state2, m2b = step2(state2, hr2)
     assert abs(float(m1b["loss"]) - float(m2b["loss"])) < 1e-5
+
+
+def test_dp_sp_tp_3d_mesh_train_step_matches_single_device():
+    """Full 3-axis COMPOSITION on a 2x2x2 ("data", "space", "model") mesh:
+    batch sharded over 'data', each shard's image rows over 'space', and
+    conv kernels + Adam moments over 'model' output channels — all three
+    parallelism axes in ONE jitted train step, same step function as the
+    single-device path. This is the pod-scale configuration for a model
+    too large to replicate serving large inputs: dp for throughput, sp for
+    the spatial footprint, tp for the parameter footprint."""
+    from facesr.parallel import tp_param_shardings, grid_sharding
+
+    rng = np.random.default_rng(14)
+    hr = rng.random((4, 32, 32, 3), dtype=np.float32)
+
+    step1, state1 = _make_step_and_state(mesh=None)
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh3d = get_mesh(axis_names=("data", "space", "model"), shape=(2, 2, 2))
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0, ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    state3 = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                        opt_state=set_learning_rate(tx.init(params), 1e-3),
+                        loss_params=loss_fn.params)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                        scale_factor=4, compute_dtype=None)
+
+    state_sh = tp_param_shardings(state3, mesh3d, axis="model")
+    from jax.sharding import PartitionSpec as P
+    assert state_sh.params["conv_first"]["w"].spec == P(None, None, None, "model")
+
+    in_sh = grid_sharding(mesh3d)  # P("data", "space") on NHWC
+    step3 = jax.jit(step_fn, in_shardings=(state_sh, in_sh),
+                    out_shardings=(state_sh, None))
+    state3 = jax.device_put(state3, state_sh)
+    hr3 = jax.device_put(hr, in_sh)
+    state3, m3 = step3(state3, hr3)
+
+    assert abs(float(m1["loss"]) - float(m3["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_first"]["w"]),
+        np.asarray(jax.device_get(state3.params)["conv_first"]["w"]),
+        atol=1e-5)
+
+    state1, m1b = step1(state1, jnp.asarray(hr))
+    state3, m3b = step3(state3, hr3)
+    assert abs(float(m1b["loss"]) - float(m3b["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
+        np.asarray(jax.device_get(state3.params)["conv_last"]["w"]),
+        atol=1e-5)
