@@ -110,6 +110,14 @@ class TrainerConfig:
     checkpoint_dir: str = "checkpoints"
     save_every: int = 10
     save_best: bool = True
+    # Async checkpointing: the msgpack encode + atomic file write run on a
+    # single FIFO writer thread so the step loop never stalls on disk (the
+    # reference's torch.save blocks the epoch; at pod scale that is dead
+    # ICI time for every chip). The device->host copy stays synchronous —
+    # the jitted step DONATES its input state, so buffers must be
+    # materialized before the next step invalidates them. Writes are
+    # flushed at train() end and before any load.
+    async_checkpoint: bool = True
 
     log_every: int = 100
     log_images_every: int = 5
@@ -397,6 +405,8 @@ class Trainer:
         self.is_writer = (bool(self.config.write_all_processes)
                           or jax.process_index() == 0)
         self._warned_nonwriter = False
+        self._ckpt_pool = None  # lazy single-thread FIFO checkpoint writer
+        self._ckpt_futures = []
 
         self.use_wandb = (self.config.use_wandb and WANDB_AVAILABLE
                           and self.is_writer)
@@ -502,6 +512,7 @@ class Trainer:
                     break
 
         self.save_checkpoint("final_model.fckpt")
+        self.flush_checkpoints()
         if self.use_wandb:
             wandb.finish()
         return self.training_history
@@ -681,12 +692,50 @@ class Trainer:
             "scheduler_state": self.plateau.state_dict() if self.plateau else None,
             "use_gan": self.use_gan,
         }
-        save_checkpoint(str(self.checkpoint_dir / filename), state_dict, meta)
+        path = str(self.checkpoint_dir / filename)
+        if self.config.async_checkpoint:
+            # materialize to host NOW (donation safety), write in background;
+            # snapshot meta too — it references the live training_history,
+            # which the main thread keeps appending to while the writer
+            # serializes
+            import copy
+
+            meta = copy.deepcopy(meta)
+            state_host = jax.device_get(state_dict)
+            if self._ckpt_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._ckpt_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ckpt-writer")
+            self._reap_ckpt_errors(wait=False)
+            self._ckpt_futures.append(
+                self._ckpt_pool.submit(save_checkpoint, path, state_host, meta))
+        else:
+            save_checkpoint(path, state_dict, meta)
         if is_best:
             print(f"  New best model saved: {self.best_metric:.4f}")
 
+    def _reap_ckpt_errors(self, wait: bool) -> None:
+        pending = []
+        for fut in self._ckpt_futures:
+            if fut.done() or wait:
+                exc = fut.exception()  # blocks if wait and not done
+                if exc is not None:
+                    # a lost checkpoint must be loud, not a silent thread death
+                    raise RuntimeError(f"async checkpoint write failed: {exc}")
+            else:
+                pending.append(fut)
+        self._ckpt_futures = pending if not wait else []
+
+    def flush_checkpoints(self) -> None:
+        """Block until every queued checkpoint write has hit disk (raises if
+        any failed). Called at train() end and before loads; call it before
+        reading checkpoint files written by this trainer."""
+        self._reap_ckpt_errors(wait=True)
+
     def load_checkpoint(self, path: str, weights_only: bool = False) -> None:
         """Full resume vs weights-only fine-tune (reference trainer.py:725-760)."""
+        self.flush_checkpoints()  # the file may still be in the write queue
         tree, meta = load_checkpoint(path, target=None)
 
         if weights_only:

@@ -375,6 +375,7 @@ def main():
         print(f"\n\nTraining interrupted ({e or 'user'}).")
         print("Saving checkpoint...")
         trainer.save_checkpoint("interrupted.fckpt")
+        trainer.flush_checkpoints()  # the process is about to exit
         print(f"Checkpoint saved to {trainer_config.checkpoint_dir}/interrupted.fckpt")
     finally:
         if prev_sigterm is not None:  # None = handler installed by C code

@@ -287,6 +287,43 @@ def test_step_postfix_console_liveness(tmp_path, capsys):
     assert "step 1/2 loss" not in capsys.readouterr().out
 
 
+def test_async_checkpointing(tmp_path):
+    """Default async checkpoint writes: the file lands after
+    flush_checkpoints(), loads back identically, and sync mode still
+    writes inline. train() flushes at the end so its checkpoints are
+    always on disk when it returns."""
+    trainer = _make_trainer(tmp_path)
+    assert trainer.config.async_checkpoint
+    history = trainer.train()  # flushes internally
+    final = tmp_path / "ckpt" / "final_model.fckpt"
+    assert final.exists()
+
+    # direct save goes through the writer thread; flush makes it durable
+    trainer.save_checkpoint("direct.fckpt")
+    trainer.flush_checkpoints()
+    assert (tmp_path / "ckpt" / "direct.fckpt").exists()
+
+    # async-written checkpoint resumes exactly like a sync one
+    trainer2 = _make_trainer(tmp_path)
+    trainer2.load_checkpoint(str(final))
+    assert trainer2.current_epoch == trainer.current_epoch + 1  # resume pointer
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer2.state.params)["conv_first"]["w"]),
+        np.asarray(jax.device_get(trainer.state.params)["conv_first"]["w"]))
+
+    # sync mode writes inline (no flush needed)
+    trainer3 = _make_trainer(tmp_path, async_checkpoint=False)
+    trainer3.save_checkpoint("sync.fckpt")
+    assert (tmp_path / "ckpt" / "sync.fckpt").exists()
+
+    # a failed background write surfaces loudly at the next save or flush
+    trainer.checkpoint_dir = tmp_path / "ckpt" / "nope"
+    (tmp_path / "ckpt" / "nope").write_text("a file, not a dir")
+    trainer.save_checkpoint("doomed.fckpt")
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        trainer.flush_checkpoints()
+
+
 def test_remat_modes_equivalent_gradients():
     # remat selects a schedule, not math: loss and grads must match across
     # rcab / save_ca / save_convs / none on the same params and batch.
