@@ -1,0 +1,122 @@
+"""Ahead-of-time serving export via `jax.export` (StableHLO).
+
+Packages the exact serving forward — weights baked in as constants, any
+of the ShardedPredictor dtype modes (bf16 / f32 / weight-only int8 /
+int8_full with optional calibrated static scales) — into one serialized
+artifact that deploys without Python model code, checkpoints, or facesr
+itself: `jax.export.deserialize(blob).call(x)` is the entire runtime
+surface. The batch dimension is exported symbolically by default, so one
+artifact serves every batch size without retracing.
+
+The reference has no export path at all (serving always re-instantiates
+the torch module and loads the .pth at startup — app/demo.py:55-112);
+this is the TPU-native deployment story: XLA compiles the deserialized
+StableHLO on the target (tpu and cpu by default), and the int8 variants
+embed s8 kernels, so the artifact is ~4x smaller than the checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def build_serving_fn(model, dtype=None, calibration: Optional[np.ndarray] = None,
+                     quant_cache: Optional[str] = None, max_batch: int = 8):
+    """(fn, params): the single-device serving forward for a model wrapper
+    under the given serving mode — the same math as ShardedPredictor
+    (facesr/parallel/serving.py) without the mesh plumbing. `params` are
+    returned separately so callers can bake them (export) or keep them as
+    arguments (tests)."""
+    apply_fn = model.apply_fn
+    if dtype == "int8":
+        from facesr.ops.quant import quantize_pytree, dequantize_pytree
+
+        q_tree, s_tree = quantize_pytree(model.params)
+        params = {"q": q_tree, "s": s_tree}
+
+        def fn(p, x):
+            deq = dequantize_pytree(p["q"], p["s"], jnp.bfloat16)
+            return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
+                            0.0, 1.0)
+    elif dtype == "int8_full":
+        from facesr.ops.quant import quantize_conv_kernels
+        from facesr.parallel.serving import calibrated_qparams
+
+        if calibration is not None or quant_cache:
+            params = calibrated_qparams(model.params, apply_fn, calibration,
+                                        max_batch, cache_path=quant_cache)
+        else:
+            params = quantize_conv_kernels(model.params)
+
+        def fn(p, x):
+            return jnp.clip(apply_fn(p, x, train=False, dtype=jnp.bfloat16),
+                            0.0, 1.0)
+    else:
+        params = model.params
+
+        def fn(p, x):
+            return jnp.clip(apply_fn(p, x, train=False, dtype=dtype),
+                            0.0, 1.0)
+    return fn, params
+
+
+def export_serving(model, dtype=None, batch: Optional[int] = None,
+                   input_size: int = 64,
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   calibration: Optional[np.ndarray] = None,
+                   quant_cache: Optional[str] = None) -> bytes:
+    """Serialize the serving forward to a StableHLO artifact (bytes).
+
+    batch=None exports a SYMBOLIC batch dimension — one artifact, any
+    batch size, no retrace (jax.export shape polymorphism); an int pins
+    it. `platforms` lists every backend the artifact must run on; the
+    default covers the TPU serving fleet and CPU verification hosts.
+    """
+    fn, params = build_serving_fn(model, dtype=dtype, calibration=calibration,
+                                  quant_cache=quant_cache,
+                                  max_batch=batch or 8)
+    return export_built(fn, params, batch=batch, input_size=input_size,
+                        platforms=platforms)
+
+
+def export_built(fn, params, batch: Optional[int] = None,
+                 input_size: int = 64,
+                 platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+    """Export an already-built `(params, x) -> sr` serving fn (see
+    build_serving_fn) with `params` baked in as constants."""
+    params = jax.tree.map(jnp.asarray, params)  # bake as closure constants
+    baked = jax.jit(lambda x: fn(params, x))
+
+    if batch is None:
+        (scope,) = jax_export.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((scope, input_size, input_size, 3),
+                                      jnp.float32)
+    else:
+        x_spec = jax.ShapeDtypeStruct((batch, input_size, input_size, 3),
+                                      jnp.float32)
+    exported = jax_export.export(baked, platforms=list(platforms))(x_spec)
+    return exported.serialize()
+
+
+def load_exported(path_or_bytes):
+    """Deserialize an exported artifact into a callable `f(x) -> sr`.
+
+    Accepts a file path or raw bytes. The callable jit-compiles on first
+    use per shape (symbolic-batch artifacts compile once per distinct
+    batch size, like any jit)."""
+    blob = path_or_bytes
+    if not isinstance(blob, (bytes, bytearray)):
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    exported = jax_export.deserialize(bytes(blob))
+
+    def call(x):
+        return np.asarray(jax.jit(exported.call)(jnp.asarray(x, jnp.float32)))
+
+    call.exported = exported
+    return call

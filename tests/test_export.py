@@ -1,0 +1,97 @@
+"""jax.export serving artifacts: batch-polymorphic export, round-trip
+equality vs the live forward across dtype modes, and the CLI."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facesr.models import face_enhance_net as fen
+from facesr.ckpt.export import (
+    build_serving_fn,
+    export_built,
+    export_serving,
+    load_exported,
+)
+
+REPO = Path(__file__).parent.parent
+
+
+def _tiny_model(seed=0):
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                   blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    model.params["conv_last"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(seed),
+                          model.params["conv_last"]["w"].shape) * 0.05)
+    return model
+
+
+def test_export_symbolic_batch_round_trip():
+    """One artifact (symbolic batch) serves MULTIPLE batch sizes and matches
+    the live forward exactly (same program, baked constants)."""
+    model = _tiny_model()
+    blob = export_serving(model, dtype=None, input_size=16,
+                          platforms=("cpu",))
+    serve = load_exported(blob)
+
+    fn, params = build_serving_fn(model, dtype=None)
+    live = jax.jit(fn)
+    rng = np.random.default_rng(1)
+    for batch in (1, 3, 8):
+        x = rng.random((batch, 16, 16, 3), dtype=np.float32)
+        got = serve(x)
+        want = np.asarray(live(params, x))
+        assert got.shape == (batch, 64, 64, 3)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_full"])
+def test_export_dtype_modes_match_live(dtype):
+    model = _tiny_model(seed=2)
+    d = jnp.bfloat16 if dtype == "bf16" else dtype
+    fn, params = build_serving_fn(model, dtype=d)
+    blob = export_built(fn, params, batch=2, input_size=16,
+                        platforms=("cpu",))
+    serve = load_exported(blob)
+    x = np.random.default_rng(3).random((2, 16, 16, 3), dtype=np.float32)
+    want = np.asarray(jax.jit(fn)(params, x))
+    # bf16-compute modes tolerate bf16-ulp-level drift: baking params as
+    # constants lets XLA fold/fuse the weight casts differently than the
+    # params-as-arguments program (int8_full's integer convs are exact and
+    # land tighter in practice)
+    np.testing.assert_allclose(serve(x), want, atol=2e-3)
+    assert float(np.mean(np.abs(serve(x) - want))) < 1e-3
+
+
+def test_export_file_and_cli(tmp_path):
+    """CLI: export --verify round-trips through a real file; load_exported
+    accepts the path form."""
+    from facesr.ckpt.checkpoint import save_checkpoint
+
+    model = _tiny_model(seed=4)
+    from dataclasses import asdict
+
+    ckpt = tmp_path / "m.fckpt"
+    save_checkpoint(str(ckpt), {"params": model.params},
+                    {"model_type": "custom", "config": asdict(model.config)})
+
+    out = tmp_path / "m.jaxexp"
+    proc = subprocess.run(
+        [sys.executable, "scripts/export_serving.py",
+         "--checkpoint", str(ckpt), "--output", str(out),
+         "--dtype", "f32", "--input-size", "16",
+         "--platforms", "cpu", "--platform", "cpu", "--verify"],
+        cwd=REPO, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK" in proc.stdout
+    assert out.exists() and out.stat().st_size > 1000
+
+    serve = load_exported(str(out))
+    y = serve(np.zeros((1, 16, 16, 3), np.float32))
+    assert y.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(y))
