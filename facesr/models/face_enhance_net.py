@@ -105,12 +105,18 @@ def apply(
     train: bool = False,
     dtype: Optional[jnp.dtype] = None,
     collect_attention: bool = False,
+    trunk_fn=None,
 ):
     """Forward pass. x: NHWC LR image in [0, 1].
 
     Returns SR image (NHWC, scale x spatial), clamped to [0,1] at inference
     only (clamping blocks gradients during training — custom.py:187-188).
     With collect_attention=True returns (out, attn [G, B, N, C]).
+
+    `trunk_fn`: optional override `(groups_params, feat) -> feat` for the
+    residual-group trunk — the hook the pipeline-parallel schedule uses
+    (facesr.parallel.pipeline) to run the trunk as a shard_map'd microbatch
+    pipeline while the head/tail stay in ordinary SPMD code.
     """
     pad = cfg.kernel_size // 2
     skip = bicubic_up(x.astype(jnp.float32), cfg.scale_factor)
@@ -119,11 +125,17 @@ def apply(
     feat = conv2d(h, params["conv_first"]["w"], params["conv_first"]["b"], padding=pad, dtype=dtype)
     residual = feat
 
-    feat, attn = blocks.residual_groups(
-        params["groups"], feat, cfg.res_scale, pad,
-        collect_attention=collect_attention,
-        remat=cfg.remat if train else "none",
-    )
+    if trunk_fn is not None:
+        if collect_attention:
+            raise ValueError("collect_attention is not supported with a "
+                             "custom trunk_fn (pipeline-parallel trunk)")
+        feat, attn = trunk_fn(params["groups"], feat), None
+    else:
+        feat, attn = blocks.residual_groups(
+            params["groups"], feat, cfg.res_scale, pad,
+            collect_attention=collect_attention,
+            remat=cfg.remat if train else "none",
+        )
     feat = conv2d(feat, params["conv_after_body"]["w"], params["conv_after_body"]["b"], padding=pad)
     feat = feat + residual
 

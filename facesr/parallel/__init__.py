@@ -11,8 +11,14 @@ from facesr.parallel.mesh import (
     replicate,
     pad_to_multiple,
 )
+from facesr.parallel.pipeline import (
+    pp_param_shardings,
+    make_pp_apply,
+)
 
 __all__ = [
+    "pp_param_shardings",
+    "make_pp_apply",
     "get_mesh",
     "replicated",
     "batch_sharding",

@@ -740,3 +740,137 @@ def test_dp_sp_tp_3d_mesh_train_step_matches_single_device():
         np.asarray(jax.device_get(state1.params)["conv_last"]["w"]),
         np.asarray(jax.device_get(state3.params)["conv_last"]["w"]),
         atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (pp)
+# ---------------------------------------------------------------------------
+
+def _make_pp_fixture(num_groups=4):
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=num_groups,
+                                   blocks_per_group=2)
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0,
+                                      ssim_weight=0.1)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       opt_state=set_learning_rate(tx.init(params), 1e-3),
+                       loss_params=loss_fn.params)
+    return cfg, loss_fn, tx, state
+
+
+def test_pipeline_parallel_forward_matches_single_device():
+    """4-stage GPipe-style pipeline over the residual-group trunk
+    (shard_map + ppermute microbatch schedule): trunk ops are per-sample
+    independent, so the pipelined forward must be BIT-EXACT vs the plain
+    single-device forward, with the group params (leading [G] axis)
+    sharded one-stage-per-device."""
+    from facesr.parallel import make_pp_apply, pp_param_shardings
+    from jax.sharding import PartitionSpec as P
+
+    cfg, _, _, state = _make_pp_fixture()
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    ref = fen.apply(state.params, x, cfg, train=False)
+
+    mesh = get_mesh(jax.devices()[:4], axis_names=("pp",))
+    psh = pp_param_shardings(state.params, mesh)
+    assert psh["groups"]["conv_w"].spec == P("pp")
+    assert psh["conv_first"]["w"].spec == P()
+    apply_pp = make_pp_apply(cfg, mesh, n_micro=4)
+    params_pp = jax.device_put(state.params, psh)
+    out = jax.jit(lambda p, xx: apply_pp(p, xx, train=False))(params_pp, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # each stage's param shard stays on its own device
+    assert out.shape == ref.shape
+
+
+def test_pipeline_parallel_train_step_matches_single_device():
+    """pp TRAINING: grad of the shard_map'd pipeline is the reverse
+    pipeline (ppermute transpose shifts cotangents stage-up); group-param
+    gradients and their Adam moments live on the owning stage only. Two
+    steps of the standard content train step driven through the pp apply
+    must match the single-device step exactly."""
+    from facesr.parallel import make_pp_apply, pp_param_shardings
+
+    rng = np.random.default_rng(21)
+    hr = rng.random((8, 32, 32, 3), dtype=np.float32)
+
+    cfg, loss_fn, tx, state1 = _make_pp_fixture()
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step1 = jax.jit(steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                              scale_factor=4))
+    mesh = get_mesh(jax.devices()[:4], axis_names=("pp",))
+    _, loss_fn2, tx2, state_pp = _make_pp_fixture()
+    apply_pp = make_pp_apply(cfg, mesh, n_micro=4)
+    pp_model_apply = lambda p, x, train, dtype: apply_pp(p, x, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(pp_model_apply, loss_fn2.apply, tx2,
+                                        scale_factor=4)
+    ssh = pp_param_shardings(state_pp, mesh)
+    step_pp = jax.jit(step_fn, in_shardings=(ssh, replicated(mesh)),
+                      out_shardings=(ssh, None))
+    state_pp = jax.device_put(state_pp, ssh)
+    hr_r = jax.device_put(hr, replicated(mesh))
+
+    for _ in range(2):
+        state1, m1 = step1(state1, jnp.asarray(hr))
+        state_pp, m_pp = step_pp(state_pp, hr_r)
+        assert abs(float(m1["loss"]) - float(m_pp["loss"])) < 1e-6
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     jax.device_get(state1.params),
+                     jax.device_get(state_pp.params))
+    assert max(jax.tree.leaves(d)) < 1e-6
+
+
+def test_dp_pp_2d_mesh_train_step_matches_single_device():
+    """dp x pp COMPOSITION on a 2x4 ("data", "pp") mesh: batch sharded
+    over 'data', each dp replica's trunk pipelined over its 4 'pp' stages
+    — sharding-based and schedule-based axes composed in one jitted step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from facesr.parallel import make_pp_apply, pp_param_shardings
+
+    rng = np.random.default_rng(22)
+    hr = rng.random((8, 32, 32, 3), dtype=np.float32)
+
+    cfg, loss_fn, tx, state1 = _make_pp_fixture()
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step1 = jax.jit(steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                              scale_factor=4))
+    state1, m1 = step1(state1, jnp.asarray(hr))
+
+    mesh = get_mesh(axis_names=("data", "pp"), shape=(2, 4))
+    _, loss_fn2, tx2, state2 = _make_pp_fixture()
+    apply_pp = make_pp_apply(cfg, mesh, n_micro=2, dp_axis="data")
+    pp_model_apply = lambda p, x, train, dtype: apply_pp(p, x, train=train, dtype=dtype)
+    step_fn = steps_lib.make_train_step(pp_model_apply, loss_fn2.apply, tx2,
+                                        scale_factor=4)
+    ssh = pp_param_shardings(state2, mesh)
+    bsh = NamedSharding(mesh, P("data"))
+    step2 = jax.jit(step_fn, in_shardings=(ssh, bsh), out_shardings=(ssh, None))
+    state2 = jax.device_put(state2, ssh)
+    state2, m2 = step2(state2, jax.device_put(hr, bsh))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     jax.device_get(state1.params),
+                     jax.device_get(state2.params))
+    assert max(jax.tree.leaves(d)) < 1e-6
+
+
+def test_pipeline_parallel_validation_errors():
+    """Loud failures: num_groups must divide over the stages; n_micro must
+    divide the local batch."""
+    import pytest
+    from facesr.parallel import make_pp_apply
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=3,
+                                   blocks_per_group=2)
+    mesh = get_mesh(jax.devices()[:4], axis_names=("pp",))
+    with pytest.raises(ValueError, match="num_groups"):
+        make_pp_apply(cfg, mesh)
+
+    cfg4, _, _, state = _make_pp_fixture()
+    apply_pp = make_pp_apply(cfg4, mesh, n_micro=3)
+    x = jnp.zeros((8, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="n_micro"):
+        jax.jit(lambda p, xx: apply_pp(p, xx))(state.params, x)
