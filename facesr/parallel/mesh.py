@@ -41,6 +41,13 @@ def get_mesh(
     devices = list(devices) if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {int(np.prod(shape))} devices, "
+            f"but {len(devices)} are available "
+            f"({devices[0].platform if devices else 'none'}). On a CPU dev "
+            f"host, provision a virtual mesh with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N.")
     dev_array = np.asarray(devices).reshape(tuple(shape))
     return Mesh(dev_array, tuple(axis_names))
 

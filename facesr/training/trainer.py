@@ -147,6 +147,22 @@ class TrainerConfig:
     # TPU / mesh
     scale_factor: int = 4
     mesh_axis: str = "data"
+    # Mesh COMPOSITION (docs/parallelism.md): comma-separated axis names,
+    # first axis = the batch (dp) axis named by `mesh_axis`. Options:
+    #   "data"        pure dp (default — batch sharded, state replicated)
+    #   "data,space"  dp x sp: each batch shard's image ROWS split too
+    #   "data,model"  dp x tp: conv kernels + Adam moments sharded over
+    #                 output channels under the batch partition
+    #   "data,pp"     dp x pipeline: each dp replica's residual-group trunk
+    #                 runs as a shard_map+ppermute microbatch pipeline
+    # Multi-axis requires `mesh_shape`, e.g. [4, 2] on 8 chips. All modes
+    # are exactness-gated vs single-device in tests/test_parallel.py.
+    mesh_axes: str = "data"
+    mesh_shape: Optional[tuple] = None
+    # pp microbatches per step; 0 = one per pipeline stage (always divides
+    # the padded local batch). More microbatches shrink the pipeline
+    # bubble but must divide batch_size / dp_size.
+    pp_microbatches: int = 0
     log_dir: str = "training_logs"
     # Remat the perceptual VGG sweep in backward. False (measured fastest,
     # BENCH.md: +7% at batch 128 bf16) fits HBM up to batch ~128 per v5e
@@ -246,7 +262,31 @@ class Trainer:
         self.val_loader = val_loader
         self.loss_fn = loss_fn
 
-        self.mesh = mesh if mesh is not None else get_mesh(axis_names=(self.config.mesh_axis,))
+        axes = tuple(a.strip() for a in self.config.mesh_axes.split(",") if a.strip())
+        if axes[0] != self.config.mesh_axis:
+            raise ValueError(
+                f"mesh_axes must start with the batch axis {self.config.mesh_axis!r}, "
+                f"got {axes}")
+        extra = set(axes[1:]) - {"space", "model", "pp"}
+        if extra:
+            raise ValueError(f"Unknown mesh axes {sorted(extra)}; supported "
+                             f"extra axes: space, model, pp")
+        self._use_tp = "model" in axes
+        self._use_pp = "pp" in axes
+        if self._use_tp and self._use_pp:
+            raise ValueError("mesh_axes cannot combine 'model' and 'pp': both "
+                             "shard the parameter tree")
+        if mesh is not None:
+            self.mesh = mesh
+        elif len(axes) == 1:
+            self.mesh = get_mesh(axis_names=axes)
+        else:
+            if self.config.mesh_shape is None:
+                raise ValueError(
+                    "mesh_shape is required with multiple mesh_axes, e.g. "
+                    "mesh_shape: [4, 2] for 'data,space' on 8 chips")
+            self.mesh = get_mesh(axis_names=axes,
+                                 shape=tuple(self.config.mesh_shape))
         self.n_devices = int(np.prod(self.mesh.devices.shape))
 
         cfgm = self.model_cfg
@@ -255,6 +295,30 @@ class Trainer:
         else:
             self._model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfgm, train=train, dtype=dtype)
         self.model_type = getattr(model, "model_type", "custom")
+        if self._use_pp:
+            # Pipelined trunk: a drop-in model_apply (train AND eval steps)
+            # whose residual groups run one-stage-per-device. Only the
+            # FaceEnhanceNet family has the scan-stacked [G] trunk.
+            if self.model_type != "custom":
+                raise ValueError("mesh_axes 'pp' requires the FaceEnhanceNet "
+                                 f"trunk, not model_type={self.model_type!r}")
+            if self.config.qat:
+                raise ValueError("qat + pipeline parallelism is not supported "
+                                 "(fake-quant scale leaves break the stage "
+                                 "sharding rule); use dp/sp/tp meshes for QAT")
+            from facesr.parallel import make_pp_apply
+
+            # default n_micro = S: batches are padded to a multiple of
+            # n_devices = dp*S, so the local batch is always a multiple of
+            # S and the schedule never rejects a batch size.
+            pp_stages = int(dict(zip(self.mesh.axis_names,
+                                     self.mesh.devices.shape))["pp"])
+            apply_pp = make_pp_apply(
+                cfgm, self.mesh,
+                n_micro=self.config.pp_microbatches or pp_stages,
+                axis="pp", dp_axis=self.config.mesh_axis)
+            self._model_apply = lambda p, x, train, dtype: apply_pp(
+                p, x, train=train, dtype=dtype)
         if self.config.qat:
             from facesr.ops.quant import fake_quant_params
 
@@ -325,11 +389,37 @@ class Trainer:
             d_opt_state=d_opt_state,
             ema_params=ema_params,
         )
-        self.state = replicate(self.state, self.mesh)
+        # State placement: replicated for dp/sp; a path/shape-ruled sharding
+        # tree for tp (kernels + moments over 'model' channels) and pp
+        # (groups + their moments over 'pp' stages). The same tree places
+        # every checkpoint restore (self._place_state).
+        if self._use_tp:
+            from facesr.parallel import tp_param_shardings
 
-        # Jitted steps with explicit shardings (batch sharded over `data`).
-        repl = replicated(self.mesh)
-        bsh = batch_sharding(self.mesh, self.config.mesh_axis)
+            self._state_sharding = tp_param_shardings(self.state, self.mesh,
+                                                      axis="model")
+        elif self._use_pp:
+            from facesr.parallel import pp_param_shardings
+
+            self._state_sharding = pp_param_shardings(self.state, self.mesh,
+                                                      axis="pp")
+        else:
+            self._state_sharding = replicated(self.mesh)
+        self.state = jax.device_put(self.state, self._state_sharding)
+
+        # Jitted steps with explicit shardings (batch sharded over `data`,
+        # and over 'space' rows too on a dp x sp mesh). tp/pp pin
+        # out_shardings so step outputs feed the next step in-layout.
+        repl = self._state_sharding
+        state_out = (repl, None) if (self._use_tp or self._use_pp) else None
+        if "space" in axes:
+            from facesr.parallel import grid_sharding
+
+            bsh = grid_sharding(self.mesh, batch_axis=self.config.mesh_axis,
+                                row_axis="space")
+        else:
+            bsh = batch_sharding(self.mesh, self.config.mesh_axis)
+        self._batch_sharding = bsh
 
         self._grad_norms_on = self.config.log_gradients_every > 0
         self.gradient_monitor = None
@@ -345,7 +435,8 @@ class Trainer:
             ema_decay=self.config.ema_decay,
         )
         self._content_step = jax.jit(
-            content_step, in_shardings=(repl, bsh), donate_argnums=0
+            content_step, in_shardings=(repl, bsh), out_shardings=state_out,
+            donate_argnums=0
         )
         self._gan_step = None
         if self.use_gan:
@@ -362,7 +453,8 @@ class Trainer:
                 grad_norms=self._grad_norms_on,
                 ema_decay=self.config.ema_decay,
             )
-            self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh), donate_argnums=0)
+            self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh),
+                                     out_shardings=state_out, donate_argnums=0)
 
         eval_step = steps_lib.make_eval_step(
             self._model_apply, self._loss_apply_eval,
@@ -473,7 +565,30 @@ class Trainer:
                           "batch include duplicate samples")
                     self._warned_pad = True
                 hr, _ = pad_to_multiple(hr, self.n_devices)
-        return jax.device_put(hr, batch_sharding(self.mesh, self.config.mesh_axis))
+        return jax.device_put(hr, self._batch_sharding)
+
+    # ------------------------------------------------------------------
+    def memory_report(self, batch_size: int, hr_size: int,
+                      gan: Optional[bool] = None, echo: bool = True) -> dict:
+        """Per-device HBM budget of the train step (XLA buffer assignment,
+        no execution — facesr.utils.profiling.memory_report). On composed
+        meshes this shows the capability claims directly: tp/pp cut the
+        per-chip argument bytes (params + Adam moments shards), dp/sp cut
+        the batch/temp bytes. Adds one AOT compile of the step."""
+        from facesr.utils.profiling import memory_report, format_memory_report
+
+        use_gan = self.use_gan if gan is None else gan
+        step = self._gan_step if use_gan else self._content_step
+        hr_spec = jax.ShapeDtypeStruct(
+            (batch_size, hr_size, hr_size, 3), jnp.float32,
+            sharding=self._batch_sharding)
+        report = memory_report(step, self.state, hr_spec)
+        if echo:
+            label = (f"{'GAN' if use_gan else 'content'} step, "
+                     f"mesh_axes={self.config.mesh_axes}, "
+                     f"batch={batch_size}@{hr_size}px")
+            print(format_memory_report(report, label))
+        return report
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -744,9 +859,13 @@ class Trainer:
             )
             # EMA restarts from the loaded weights (fresh stage, fresh average)
             ema = steps_lib.init_ema(params) if self.use_ema else None
-            self.state = self.state.replace(params=replicate(params, self.mesh),
-                                            ema_params=replicate(ema, self.mesh)
-                                            if ema is not None else None)
+            psh = (self._state_sharding.params
+                   if (self._use_tp or self._use_pp) else self._state_sharding)
+            esh = (self._state_sharding.ema_params
+                   if (self._use_tp or self._use_pp) else self._state_sharding)
+            self.state = self.state.replace(
+                params=jax.device_put(params, psh),
+                ema_params=jax.device_put(ema, esh) if ema is not None else None)
             print(f"Loaded model weights from epoch {meta.get('epoch')} (fine-tuning mode)")
             print(f"  Starting fresh with LR={self.config.learning_rate}")
             return
@@ -779,7 +898,7 @@ class Trainer:
             print("  Checkpoint has no discriminator state; D starts fresh")
         else:
             restored = serialization.from_state_dict(jax.device_get(self.state), tree)
-        self.state = replicate(restored, self.mesh)
+        self.state = jax.device_put(restored, self._state_sharding)
         # the restored opt_state carries the checkpoint's LR; mark ours
         # unknown so the first epoch's _set_lr unconditionally applies the
         # schedule instead of skipping on a stale equality check

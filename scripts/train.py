@@ -83,6 +83,10 @@ def main():
                              "(scripts/export_quantized.py output) pinning "
                              "QAT's activation grid to the static serving "
                              "scales (training.qat must be on)")
+    parser.add_argument("--print-memory", action="store_true",
+                        help="print the train step's per-device HBM budget "
+                        "(XLA buffer assignment) before training; shows "
+                        "what mesh_axes compositions buy (adds one compile)")
     parser.add_argument("--fast-loader", action="store_true",
                         help="Use the native (C++) HR-only batch assembler "
                              "for the training loader (LR is synthesized "
@@ -293,6 +297,12 @@ def main():
         d_updates_per_g=gan_config.get("d_updates_per_g", 1),
         gan_start_epoch=gan_config.get("start_epoch", 0),
         scale_factor=data_config.get("scale_factor", 4),
+        # Mesh composition (docs/parallelism.md): e.g.
+        #   mesh_axes: data,space   mesh_shape: [4, 2]
+        mesh_axes=training_config.get("mesh_axes", "data"),
+        mesh_shape=(tuple(training_config["mesh_shape"])
+                    if training_config.get("mesh_shape") else None),
+        pp_microbatches=training_config.get("pp_microbatches", 0),
     )
 
     discriminator = None
@@ -329,6 +339,9 @@ def main():
         discriminator=discriminator,
         qat_scales=qat_scales,
     )
+
+    if args.print_memory:
+        trainer.memory_report(batch_size, hr_patch)
 
     # CLI --resume is a full resume (unless --fine-tune); a `resume:` path
     # from the stage YAML is stage *chaining* and always loads weights-only —

@@ -538,3 +538,102 @@ def test_multihost_write_discipline(tmp_path, monkeypatch):
     s1 = host_shard(order, process_index=1, process_count=2)
     assert len(s0) == len(s1)
     assert set(s0.tolist()).isdisjoint(s1.tolist())
+
+
+def test_trainer_mesh_axes_compositions(tmp_path):
+    """TrainerConfig.mesh_axes makes the composed meshes (dp x sp, dp x tp,
+    dp x pp) reachable from the production Trainer/YAML, not just the
+    library: one epoch of each on a (4, 2) mesh must reproduce the pure-dp
+    Trainer's loss/PSNR (the underlying steps are exactness-gated in
+    test_parallel.py; this gates the Trainer wiring — state placement,
+    batch sharding, out-sharding pinning, checkpoint placement)."""
+    # pp needs num_groups divisible over the stages -> 2-group model
+    cfg2 = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2,
+                                    blocks_per_group=2)
+
+    def run(mesh_axes, mesh_shape=None, pp_microbatches=0):
+        model = fen.FaceEnhanceNet(cfg2)
+        loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0,
+                                          ssim_weight=0.1)
+        cfg = TrainerConfig(
+            epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+            checkpoint_dir=str(tmp_path / mesh_axes.replace(",", "_")),
+            log_dir=str(tmp_path / "logs"), save_every=100,
+            scheduler_T_max=1, scale_factor=4,
+            mesh_axes=mesh_axes, mesh_shape=mesh_shape,
+            pp_microbatches=pp_microbatches,
+        )
+        tr = Trainer(model, FakeLoader(), FakeLoader(n_batches=1, seed=1),
+                     loss_fn, config=cfg)
+        hist = tr.train()
+        return hist["train_loss"][-1], hist["val_psnr"][-1]
+
+    base_loss, base_psnr = run("data")
+    for axes in ("data,space", "data,model", "data,pp"):
+        loss, psnr = run(axes, mesh_shape=(4, 2))
+        assert abs(loss - base_loss) < 1e-4, (axes, loss, base_loss)
+        assert abs(psnr - base_psnr) < 1e-3, (axes, psnr, base_psnr)
+
+
+def test_trainer_mesh_axes_validation(tmp_path):
+    import pytest as _pytest
+
+    def make(**kw):
+        model = fen.FaceEnhanceNet(SMALL)
+        loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+        cfg = TrainerConfig(epochs=1, use_wandb=False,
+                            checkpoint_dir=str(tmp_path / "c"),
+                            log_dir=str(tmp_path / "l"), **kw)
+        return Trainer(model, FakeLoader(n_batches=1), FakeLoader(n_batches=1),
+                       loss_fn, config=cfg)
+
+    with _pytest.raises(ValueError, match="mesh_shape"):
+        make(mesh_axes="data,space")
+    with _pytest.raises(ValueError, match="model.*pp|pp.*model"):
+        make(mesh_axes="data,model,pp", mesh_shape=(2, 2, 2))
+    with _pytest.raises(ValueError, match="Unknown mesh axes"):
+        make(mesh_axes="data,bogus", mesh_shape=(4, 2))
+    with _pytest.raises(ValueError, match="batch axis"):
+        make(mesh_axes="space,data", mesh_shape=(4, 2))
+    # pp on a 1-group model: groups cannot split over 2 stages
+    with _pytest.raises(ValueError, match="num_groups"):
+        make(mesh_axes="data,pp", mesh_shape=(4, 2))
+    # qat + pp is unsupported
+    with _pytest.raises(ValueError, match="qat"):
+        make(mesh_axes="data,pp", mesh_shape=(4, 2), qat=True)
+
+
+def test_memory_report_sharded_state_savings(tmp_path):
+    """memory_report surfaces XLA's per-device buffer assignment without
+    executing: on tp/pp meshes the argument bytes (params + Adam moments
+    shards) must drop measurably below the pure-dp replicated state —
+    the concrete form of the 'capability axis' claim in
+    docs/parallelism.md."""
+    # params-dominated model (64ch): state ~3x Adam-sized vs a ~100KB batch
+    cfgm = fen.FaceEnhanceNetConfig(num_channels=64, num_groups=2,
+                                    blocks_per_group=2)
+
+    def build(mesh_axes, mesh_shape=None):
+        model = fen.FaceEnhanceNet(cfgm)
+        loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+        cfg = TrainerConfig(epochs=1, use_wandb=False, use_amp=False,
+                            checkpoint_dir=str(tmp_path / "c"),
+                            log_dir=str(tmp_path / "l"),
+                            mesh_axes=mesh_axes, mesh_shape=mesh_shape)
+        return Trainer(model, FakeLoader(n_batches=1), FakeLoader(n_batches=1),
+                       loss_fn, config=cfg)
+
+    rep_dp = build("data").memory_report(8, 32, echo=False)
+    assert rep_dp["argument_size_in_bytes"] > 0
+    assert (rep_dp["total_budget_in_bytes"]
+            >= rep_dp["argument_size_in_bytes"])
+
+    rep_pp = build("data,pp", (4, 2)).memory_report(8, 32, echo=False)
+    # half the groups (the bulk of a 2-group model's params+moments) leave
+    # the device vs the replicated dp state
+    assert (rep_pp["argument_size_in_bytes"]
+            < 0.85 * rep_dp["argument_size_in_bytes"]), (rep_pp, rep_dp)
+
+    rep_tp = build("data,model", (4, 2)).memory_report(8, 32, echo=False)
+    assert (rep_tp["argument_size_in_bytes"]
+            < 0.85 * rep_dp["argument_size_in_bytes"]), (rep_tp, rep_dp)
