@@ -105,7 +105,7 @@ def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
     """
     # divisibility is against the TARGET axis's size, not the whole mesh —
     # on a 2-D (data, model) mesh only the model axis partitions channels
-    n = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
+    n = int(mesh.shape[axis])
 
     def rule(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]

@@ -68,7 +68,7 @@ def pp_param_shardings(tree: Any, mesh: Mesh, axis: str = "pp") -> Any:
     paths, its Adam moments too); everything else is replicated over
     `axis`. Like `tp_param_shardings` this applies to a whole TrainState.
     """
-    n = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
+    n = int(mesh.shape[axis])
 
     def rule(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
@@ -170,7 +170,7 @@ def make_pp_apply(
     """
     import facesr.models.face_enhance_net as fen
 
-    n_stages = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
+    n_stages = int(mesh.shape[axis])
     if cfg.num_groups % n_stages:
         raise ValueError(
             f"num_groups={cfg.num_groups} must divide over {n_stages} "

@@ -276,6 +276,21 @@ class Trainer:
         if self._use_tp and self._use_pp:
             raise ValueError("mesh_axes cannot combine 'model' and 'pp': both "
                              "shard the parameter tree")
+        if self._use_pp and "space" in axes:
+            # Inside the pipeline's shard_map the sharding is MANUAL: XLA
+            # would not insert the conv halo exchanges row sharding needs,
+            # so the rows would just be gathered back (paying the axis for
+            # nothing). Reject rather than silently replicate.
+            raise ValueError("mesh_axes cannot combine 'space' and 'pp': the "
+                             "pipelined trunk runs under manual sharding "
+                             "(no automatic halo exchange); use dp x pp or "
+                             "dp x sp")
+        if (self._use_tp or self._use_pp) and jax.process_count() > 1:
+            raise NotImplementedError(
+                "tp/pp-sharded training state is single-host for now: "
+                "checkpoint saves device_get the state, which requires all "
+                "shards addressable by the writing process; multi-host "
+                "tp/pp needs an all-gather-on-save path")
         if mesh is not None:
             self.mesh = mesh
         elif len(axes) == 1:
@@ -288,6 +303,17 @@ class Trainer:
             self.mesh = get_mesh(axis_names=axes,
                                  shape=tuple(self.config.mesh_shape))
         self.n_devices = int(np.prod(self.mesh.devices.shape))
+        # Batch divisibility: the batch dim rides only the data axis (sp
+        # shards rows, tp shards channels — neither constrains the batch);
+        # under pp the local batch must additionally split into the
+        # microbatches, so the divisor is dp * n_micro.
+        data_size = int(self.mesh.shape[self.config.mesh_axis])
+        if self._use_pp:
+            n_micro = (self.config.pp_microbatches
+                       or int(self.mesh.shape["pp"]))
+            self._batch_divisor = data_size * n_micro
+        else:
+            self._batch_divisor = data_size
 
         cfgm = self.model_cfg
         if hasattr(model, "apply_fn"):
@@ -309,10 +335,9 @@ class Trainer:
             from facesr.parallel import make_pp_apply
 
             # default n_micro = S: batches are padded to a multiple of
-            # n_devices = dp*S, so the local batch is always a multiple of
-            # S and the schedule never rejects a batch size.
-            pp_stages = int(dict(zip(self.mesh.axis_names,
-                                     self.mesh.devices.shape))["pp"])
+            # dp*S (_batch_divisor), so the local batch is always a
+            # multiple of S and the schedule never rejects a batch size.
+            pp_stages = int(self.mesh.shape["pp"])
             apply_pp = make_pp_apply(
                 cfgm, self.mesh,
                 n_micro=self.config.pp_microbatches or pp_stages,
@@ -391,8 +416,8 @@ class Trainer:
         )
         # State placement: replicated for dp/sp; a path/shape-ruled sharding
         # tree for tp (kernels + moments over 'model' channels) and pp
-        # (groups + their moments over 'pp' stages). The same tree places
-        # every checkpoint restore (self._place_state).
+        # (groups + their moments over 'pp' stages). load_checkpoint places
+        # every restore through the same self._state_sharding tree.
         if self._use_tp:
             from facesr.parallel import tp_param_shardings
 
@@ -548,23 +573,32 @@ class Trainer:
         the mesh itself is padded by repetition, with a warning."""
         hr = np.asarray(hr)
         n = hr.shape[0]
-        rem = n % self.n_devices
+        div = self._batch_divisor
+        rem = n % div
         if rem:
-            if n >= self.n_devices:
+            if n >= div:
                 if not self._warned_trim:
                     print(f"Warning: batch of {n} trimmed to "
-                          f"{n - rem} for the {self.n_devices}-device mesh "
+                          f"{n - rem} for mesh_axes={self.config.mesh_axes} "
                           f"({rem} samples dropped per batch — pick a "
-                          "batch_size divisible by the device count)")
+                          f"batch_size divisible by {div})")
                     self._warned_trim = True
                 hr = hr[: n - rem]
             else:
                 if not self._warned_pad:
-                    print(f"Warning: batch of {n} padded by repetition to the "
-                          f"{self.n_devices}-device mesh; metrics over this "
-                          "batch include duplicate samples")
+                    print(f"Warning: batch of {n} padded by repetition to a "
+                          f"multiple of {div} for "
+                          f"mesh_axes={self.config.mesh_axes}; metrics over "
+                          "this batch include duplicate samples")
                     self._warned_pad = True
-                hr, _ = pad_to_multiple(hr, self.n_devices)
+                hr, _ = pad_to_multiple(hr, div)
+        if "space" in self.mesh.axis_names:
+            rows = int(self.mesh.shape["space"])
+            if hr.shape[1] % rows:
+                raise ValueError(
+                    f"image height {hr.shape[1]} must divide over the "
+                    f"{rows}-way 'space' axis (pick an hr_patch_size "
+                    f"divisible by {rows})")
         return jax.device_put(hr, self._batch_sharding)
 
     # ------------------------------------------------------------------
@@ -578,7 +612,17 @@ class Trainer:
         from facesr.utils.profiling import memory_report, format_memory_report
 
         use_gan = self.use_gan if gan is None else gan
+        if use_gan and self._gan_step is None:
+            raise ValueError("memory_report(gan=True) needs a GAN trainer "
+                             "(config.gan_weight > 0 and a discriminator)")
         step = self._gan_step if use_gan else self._content_step
+        if batch_size % self._batch_divisor:
+            # lowering a shape the train loop would trim/pad would report a
+            # different program than training executes
+            raise ValueError(
+                f"batch_size {batch_size} is not a multiple of "
+                f"{self._batch_divisor} (mesh_axes="
+                f"{self.config.mesh_axes}); the train loop would reshape it")
         hr_spec = jax.ShapeDtypeStruct(
             (batch_size, hr_size, hr_size, 3), jnp.float32,
             sharding=self._batch_sharding)

@@ -96,10 +96,12 @@ def memory_report(jitted_fn, *args) -> dict:
     # The backend's peak counter is unreliable on some platforms (the CPU
     # backend reports less than the temp total); the sum of components is
     # the defensible budget — everything simultaneously resident if XLA
-    # overlaps nothing.
+    # overlaps nothing. Donated inputs (the train steps donate their
+    # TrainState) appear in BOTH arguments and outputs but occupy one
+    # buffer — alias_size_in_bytes removes the double count.
     report["total_budget_in_bytes"] = (
         report["argument_size_in_bytes"] + report["output_size_in_bytes"]
-        + report["temp_size_in_bytes"])
+        + report["temp_size_in_bytes"] - report["alias_size_in_bytes"])
     return report
 
 
@@ -112,4 +114,4 @@ def format_memory_report(report: dict, label: str = "step") -> str:
             f"  temps      {mb(report['temp_size_in_bytes'])}"
             f"  (live intermediates incl. backward stash)\n"
             f"  budget     {mb(report['total_budget_in_bytes'])}"
-            f"  (arguments + outputs + temps)")
+            f"  (arguments + outputs + temps - donated aliases)")

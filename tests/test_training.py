@@ -591,6 +591,8 @@ def test_trainer_mesh_axes_validation(tmp_path):
         make(mesh_axes="data,space")
     with _pytest.raises(ValueError, match="model.*pp|pp.*model"):
         make(mesh_axes="data,model,pp", mesh_shape=(2, 2, 2))
+    with _pytest.raises(ValueError, match="space.*pp|pp.*space"):
+        make(mesh_axes="data,space,pp", mesh_shape=(2, 2, 2))
     with _pytest.raises(ValueError, match="Unknown mesh axes"):
         make(mesh_axes="data,bogus", mesh_shape=(4, 2))
     with _pytest.raises(ValueError, match="batch axis"):
@@ -637,3 +639,49 @@ def test_memory_report_sharded_state_savings(tmp_path):
     rep_tp = build("data,model", (4, 2)).memory_report(8, 32, echo=False)
     assert (rep_tp["argument_size_in_bytes"]
             < 0.85 * rep_dp["argument_size_in_bytes"]), (rep_tp, rep_dp)
+
+
+def test_batch_divisor_is_data_axis_not_whole_mesh(tmp_path, capsys):
+    """On a dp x sp (4,2) mesh a batch of 12 only needs divisibility by the
+    4-way data axis — it must NOT be trimmed to 8 (a third of the data
+    silently dropped was the failure mode)."""
+    model = fen.FaceEnhanceNet(SMALL)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+    cfg = TrainerConfig(epochs=1, use_wandb=False, use_amp=False,
+                        checkpoint_dir=str(tmp_path / "c"),
+                        log_dir=str(tmp_path / "l"),
+                        mesh_axes="data,space", mesh_shape=(4, 2))
+    tr = Trainer(model, FakeLoader(n_batches=1, batch=12),
+                 FakeLoader(n_batches=1, batch=12), loss_fn, config=cfg)
+    assert tr._batch_divisor == 4
+    hr = np.zeros((12, 32, 32, 3), np.float32)
+    out = tr._shard_hr(hr)
+    assert out.shape[0] == 12  # no trim
+    assert "trimmed" not in capsys.readouterr().out
+    # odd height cannot ride the 2-way space axis: loud, not wrong
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="height"):
+        tr._shard_hr(np.zeros((12, 31, 32, 3), np.float32))
+
+
+def test_memory_report_guards(tmp_path):
+    """gan=True without a discriminator and a batch the train loop would
+    reshape both fail loudly instead of compiling a misleading program."""
+    import pytest as _pytest
+    model = fen.FaceEnhanceNet(SMALL)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+    cfg = TrainerConfig(epochs=1, use_wandb=False, use_amp=False,
+                        checkpoint_dir=str(tmp_path / "c"),
+                        log_dir=str(tmp_path / "l"))
+    tr = Trainer(model, FakeLoader(n_batches=1), FakeLoader(n_batches=1),
+                 loss_fn, config=cfg)
+    with _pytest.raises(ValueError, match="gan"):
+        tr.memory_report(8, 32, gan=True, echo=False)
+    with _pytest.raises(ValueError, match="multiple"):
+        tr.memory_report(12, 32, echo=False)  # 12 % 8 devices != 0
+    # budget removes the donated-state double count
+    rep = tr.memory_report(8, 32, echo=False)
+    assert rep["total_budget_in_bytes"] == (
+        rep["argument_size_in_bytes"] + rep["output_size_in_bytes"]
+        + rep["temp_size_in_bytes"] - rep["alias_size_in_bytes"])
+    assert rep["alias_size_in_bytes"] > 0  # donation actually aliased
