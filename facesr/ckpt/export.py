@@ -27,42 +27,20 @@ from jax import export as jax_export
 
 def build_serving_fn(model, dtype=None, calibration: Optional[np.ndarray] = None,
                      quant_cache: Optional[str] = None, max_batch: int = 8):
-    """(fn, params): the single-device serving forward for a model wrapper
-    under the given serving mode — the same math as ShardedPredictor
-    (facesr/parallel/serving.py) without the mesh plumbing. `params` are
-    returned separately so callers can bake them (export) or keep them as
-    arguments (tests)."""
-    apply_fn = model.apply_fn
-    if dtype == "int8":
-        from facesr.ops.quant import quantize_pytree, dequantize_pytree
+    """(fn, params): the single-device serving forward for a model wrapper —
+    a thin delegation to facesr.parallel.serving.build_serving_fn, THE
+    single source of the serving dtype dispatch, so the exported artifact
+    can never desynchronize from live ShardedPredictor/SpatialPredictor
+    serving. `params` are returned separately so callers can bake them
+    (export) or keep them as arguments (tests). Unlike the live
+    predictors, a named-but-missing quant_cache with no calibration images
+    raises here (offline export must not silently change precision
+    semantics)."""
+    from facesr.parallel.serving import build_serving_fn as _shared
 
-        q_tree, s_tree = quantize_pytree(model.params)
-        params = {"q": q_tree, "s": s_tree}
-
-        def fn(p, x):
-            deq = dequantize_pytree(p["q"], p["s"], jnp.bfloat16)
-            return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
-                            0.0, 1.0)
-    elif dtype == "int8_full":
-        from facesr.ops.quant import quantize_conv_kernels
-        from facesr.parallel.serving import calibrated_qparams
-
-        if calibration is not None or quant_cache:
-            params = calibrated_qparams(model.params, apply_fn, calibration,
-                                        max_batch, cache_path=quant_cache)
-        else:
-            params = quantize_conv_kernels(model.params)
-
-        def fn(p, x):
-            return jnp.clip(apply_fn(p, x, train=False, dtype=jnp.bfloat16),
-                            0.0, 1.0)
-    else:
-        params = model.params
-
-        def fn(p, x):
-            return jnp.clip(apply_fn(p, x, train=False, dtype=dtype),
-                            0.0, 1.0)
-    return fn, params
+    return _shared(model.apply_fn, model.params, dtype=dtype,
+                   calibration=calibration, quant_cache=quant_cache,
+                   max_batch=max_batch, require_calibration=True)
 
 
 def export_serving(model, dtype=None, batch: Optional[int] = None,
@@ -114,9 +92,13 @@ def load_exported(path_or_bytes):
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
     exported = jax_export.deserialize(bytes(blob))
+    # ONE stable jit wrapper: a fresh jax.jit(exported.call) per invocation
+    # would retrace + recompile on every call (measured ~25x slower even on
+    # a toy export).
+    jitted = jax.jit(exported.call)
 
     def call(x):
-        return np.asarray(jax.jit(exported.call)(jnp.asarray(x, jnp.float32)))
+        return np.asarray(jitted(jnp.asarray(x, jnp.float32)))
 
     call.exported = exported
     return call

@@ -23,6 +23,7 @@ from facesr.parallel.mesh import (
 )
 
 __all__ = ["ShardedPredictor", "SpatialPredictor", "MicroBatcher",
+           "build_serving_fn",
            "calibrated_qparams", "load_calibrated_qparams",
            "load_calibration_images"]
 
@@ -138,6 +139,62 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
     return qp
 
 
+def build_serving_fn(apply_fn, params, dtype=None,
+                     calibration: Optional[np.ndarray] = None,
+                     quant_cache: Optional[str] = None, max_batch: int = 8,
+                     require_calibration: bool = False):
+    """THE serving dtype dispatch — single source for every serving
+    surface (SpatialPredictor, ShardedPredictor, AOT export). Returns
+    `(forward, served_params)` where `forward(served_params, x)` is the
+    eval-mode clipped SR forward under the given precision:
+
+      - None / jnp dtype: plain forward in that compute dtype.
+      - "int8": weight-only quantization (kernels stored s8 + scales,
+        dequantized to bf16 on the fly — 4x smaller params, bf16 speed).
+      - "int8_full": weights AND activations on the MXU s8 pipe; with
+        `calibration` images (or a `quant_cache` artifact) the activation
+        scales are static/calibrated — the production path (BENCH.md).
+
+    `require_calibration`: when a `quant_cache` path is named but missing
+    and no calibration images are given, True raises (offline export must
+    not silently change precision semantics); False falls back to dynamic
+    activation scales (a serving process should come up).
+    """
+    if dtype == "int8":
+        from facesr.ops.quant import quantize_pytree, dequantize_pytree
+
+        q_tree, s_tree = quantize_pytree(params)
+        served = {"q": q_tree, "s": s_tree}
+
+        def forward(p, x):
+            deq = dequantize_pytree(p["q"], p["s"], jnp.bfloat16)
+            return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
+                            0.0, 1.0)
+    elif dtype == "int8_full":
+        from facesr.ops.quant import quantize_conv_kernels
+
+        if (calibration is not None
+                or (quant_cache and os.path.exists(quant_cache))
+                or (quant_cache and require_calibration)):
+            # the last arm lets calibrated_qparams raise its loud
+            # missing-calibration error instead of silently going dynamic
+            served = calibrated_qparams(params, apply_fn, calibration,
+                                        max_batch, cache_path=quant_cache)
+        else:
+            served = quantize_conv_kernels(params)
+
+        def forward(p, x):
+            return jnp.clip(apply_fn(p, x, train=False, dtype=jnp.bfloat16),
+                            0.0, 1.0)
+    else:
+        served = params
+
+        def forward(p, x):
+            return jnp.clip(apply_fn(p, x, train=False, dtype=dtype),
+                            0.0, 1.0)
+    return forward, served
+
+
 class SpatialPredictor:
     """Spatial-parallel SR: shard the IMAGE ROWS across the mesh instead of
     the batch — the model-parallel axis for latency-bound batch-1 serving
@@ -173,44 +230,13 @@ class SpatialPredictor:
                  quant_cache: Optional[str] = None):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
-        apply_fn = model.apply_fn
-
-        if dtype == "int8":
-            from facesr.ops.quant import quantize_pytree, dequantize_pytree
-
-            q_tree, s_tree = quantize_pytree(model.params)
-            self._host_params = {"q": q_tree, "s": s_tree}
-
-            def forward(params, x):
-                deq = dequantize_pytree(params["q"], params["s"], jnp.bfloat16)
-                return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
-                                0.0, 1.0)
-        elif dtype == "int8_full":
-            from facesr.ops.quant import quantize_conv_kernels
-
-            if calibration is not None or (
-                    quant_cache and os.path.exists(quant_cache)):
-                # batch-1 calibration forwards: this class exists for
-                # inputs too large to batch on one chip — don't require
-                # the calibration pass to. Pass SMALL calibration images
-                # (the scales are per-site scalars, resolution-free).
-                self._host_params = calibrated_qparams(
-                    model.params, apply_fn, calibration, 1,
-                    cache_path=quant_cache)
-            else:
-                self._host_params = quantize_conv_kernels(model.params)
-
-            def forward(params, x):
-                return jnp.clip(apply_fn(params, x, train=False, dtype=jnp.bfloat16),
-                                0.0, 1.0)
-        else:
-            self._host_params = model.params
-
-            def forward(params, x):
-                return jnp.clip(apply_fn(params, x, train=False, dtype=dtype),
-                                0.0, 1.0)
-
-        self._forward = forward
+        # max_batch=1 calibration forwards: this class exists for inputs
+        # too large to batch on one chip — don't require the calibration
+        # pass to. Pass SMALL calibration images (the scales are per-site
+        # scalars, resolution-free).
+        self._forward, self._host_params = build_serving_fn(
+            model.apply_fn, model.params, dtype=dtype,
+            calibration=calibration, quant_cache=quant_cache, max_batch=1)
         self._by_n: dict = {}  # n_devices_used -> (jitted fwd, params, sharding)
         self._warned_h: set = set()  # H values already warned about
 
@@ -296,43 +322,16 @@ class ShardedPredictor:
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.max_batch = max(max_batch - max_batch % self.n_devices, self.n_devices)
-        apply_fn = model.apply_fn
         from facesr.parallel.mesh import replicated
 
-        if dtype == "int8":
-            from facesr.ops.quant import quantize_pytree, dequantize_pytree
-
-            q_tree, s_tree = quantize_pytree(model.params)
-            self.params = replicate({"q": q_tree, "s": s_tree}, self.mesh)
-
-            def forward(params, x):
-                deq = dequantize_pytree(params["q"], params["s"], jnp.bfloat16)
-                return jnp.clip(apply_fn(deq, x, train=False, dtype=jnp.bfloat16),
-                                0.0, 1.0)
-        elif dtype == "int8_full":
-            # Weights AND activations int8: convs run on the MXU's s8 pipe
-            # (2x the bf16 conv rate on v5e — BENCH.md); elementwise tail
-            # stays bf16. Larger quality delta than weight-only "int8".
-            from facesr.ops.quant import quantize_conv_kernels
-
-            if calibration is not None or (
-                    quant_cache and os.path.exists(quant_cache)):
-                qp = calibrated_qparams(
-                    model.params, apply_fn, calibration, self.max_batch,
-                    cache_path=quant_cache)
-            else:
-                qp = quantize_conv_kernels(model.params)
-            self.params = replicate(qp, self.mesh)
-
-            def forward(params, x):
-                return jnp.clip(apply_fn(params, x, train=False, dtype=jnp.bfloat16),
-                                0.0, 1.0)
-        else:
-            self.params = replicate(model.params, self.mesh)
-
-            def forward(params, x):
-                return jnp.clip(apply_fn(params, x, train=False, dtype=dtype),
-                                0.0, 1.0)
+        # dtype="int8_full": weights AND activations on the MXU's s8 pipe
+        # (2x the bf16 conv rate on v5e — BENCH.md); elementwise tail
+        # stays bf16. Larger quality delta than weight-only "int8".
+        forward, served = build_serving_fn(
+            model.apply_fn, model.params, dtype=dtype,
+            calibration=calibration, quant_cache=quant_cache,
+            max_batch=self.max_batch)
+        self.params = replicate(served, self.mesh)
 
         self._fwd = jax.jit(
             forward,

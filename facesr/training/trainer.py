@@ -866,31 +866,50 @@ class Trainer:
 
                 self._ckpt_pool = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="ckpt-writer")
-            self._reap_ckpt_errors(wait=False)
+            # submit FIRST, reap after: an earlier write's failure must not
+            # abort THIS save (the SIGTERM interrupted.fckpt in particular
+            # must be enqueued before any stale error is re-raised)
             self._ckpt_futures.append(
                 self._ckpt_pool.submit(save_checkpoint, path, state_host, meta))
+            self._reap_ckpt_errors(wait=False)
         else:
             save_checkpoint(path, state_dict, meta)
         if is_best:
             print(f"  New best model saved: {self.best_metric:.4f}")
 
     def _reap_ckpt_errors(self, wait: bool) -> None:
-        pending = []
+        # Prune FIRST, raise AFTER: a failed future must be consumed by the
+        # raise that reports it, never re-raised by every later save — that
+        # would poison subsequent checkpoints (including the SIGTERM
+        # interrupted.fckpt, which must still be enqueued after a transient
+        # earlier failure). With wait=True all futures are awaited before
+        # any error surfaces, honoring flush_checkpoints' contract.
+        pending, errors = [], []
         for fut in self._ckpt_futures:
             if fut.done() or wait:
                 exc = fut.exception()  # blocks if wait and not done
                 if exc is not None:
-                    # a lost checkpoint must be loud, not a silent thread death
-                    raise RuntimeError(f"async checkpoint write failed: {exc}")
+                    errors.append(exc)
             else:
                 pending.append(fut)
-        self._ckpt_futures = pending if not wait else []
+        self._ckpt_futures = pending
+        if errors:
+            # a lost checkpoint must be loud, not a silent thread death
+            raise RuntimeError(
+                f"async checkpoint write(s) failed: {errors}")
 
     def flush_checkpoints(self) -> None:
         """Block until every queued checkpoint write has hit disk (raises if
-        any failed). Called at train() end and before loads; call it before
-        reading checkpoint files written by this trainer."""
-        self._reap_ckpt_errors(wait=True)
+        any failed, after awaiting all of them). Called at train() end and
+        before loads; call it before reading checkpoint files written by
+        this trainer. Also retires the writer thread so Trainer-per-
+        experiment patterns (grid search) don't accumulate idle threads."""
+        try:
+            self._reap_ckpt_errors(wait=True)
+        finally:
+            if self._ckpt_pool is not None:
+                self._ckpt_pool.shutdown(wait=True)
+                self._ckpt_pool = None
 
     def load_checkpoint(self, path: str, weights_only: bool = False) -> None:
         """Full resume vs weights-only fine-tune (reference trainer.py:725-760)."""

@@ -75,7 +75,8 @@ def main():
                                   max_batch=args.batch or 8)
     blob = export_built(fn, params, batch=args.batch,
                         input_size=args.input_size,
-                        platforms=args.platforms.split(","))
+                        platforms=[s.strip() for s in
+                                   args.platforms.split(",") if s.strip()])
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_bytes(blob)
@@ -93,9 +94,17 @@ def main():
 
         want = np.asarray(jax.jit(fn)(jax.tree.map(np.asarray, params), x))
         err = float(np.max(np.abs(got.astype(np.float32) - want.astype(np.float32))))
+        # dtype-dependent tolerance: baking params as constants lets XLA
+        # fold/fuse the bf16 weight casts differently, so bf16/int8 modes
+        # legitimately drift a few bf16 ulps (~4e-3 each near 1.0 —
+        # measured 8.6e-3 on a 2-block model); only the f32 path is
+        # ~bit-exact. Real export breakage (wrong weights/layout) shows as
+        # O(0.1+) error, far above this gate.
+        tol = 1e-5 if dtype is None else 1e-2
         print(f"verify: max |exported - live| = {err:.2e} "
-              f"on batch {x.shape[0]} ({'OK' if err < 1e-5 else 'MISMATCH'})")
-        if err >= 1e-5:
+              f"on batch {x.shape[0]} (tol {tol:.0e}: "
+              f"{'OK' if err < tol else 'MISMATCH'})")
+        if err >= tol:
             raise SystemExit(1)
 
 

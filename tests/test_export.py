@@ -95,3 +95,16 @@ def test_export_file_and_cli(tmp_path):
     y = serve(np.zeros((1, 16, 16, 3), np.float32))
     assert y.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(y))
+
+    # bf16 --verify must pass with the dtype-appropriate tolerance (its
+    # legit drift is ~one bf16 ulp; a hard 1e-5 gate spuriously failed it
+    # — 'tpu, cpu' also checks platform-list whitespace handling)
+    out2 = tmp_path / "m_bf16.jaxexp"
+    proc = subprocess.run(
+        [sys.executable, "scripts/export_serving.py",
+         "--checkpoint", str(ckpt), "--output", str(out2),
+         "--dtype", "bf16", "--input-size", "16",
+         "--platforms", " cpu", "--platform", "cpu", "--verify"],
+        cwd=REPO, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK" in proc.stdout

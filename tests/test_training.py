@@ -316,11 +316,12 @@ def test_async_checkpointing(tmp_path):
     trainer3.save_checkpoint("sync.fckpt")
     assert (tmp_path / "ckpt" / "sync.fckpt").exists()
 
-    # a failed background write surfaces loudly at the next save or flush
+    # a failed background write surfaces loudly — at the enqueueing save
+    # itself if the failure has already landed, else at the next flush
     trainer.checkpoint_dir = tmp_path / "ckpt" / "nope"
     (tmp_path / "ckpt" / "nope").write_text("a file, not a dir")
-    trainer.save_checkpoint("doomed.fckpt")
-    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        trainer.save_checkpoint("doomed.fckpt")
         trainer.flush_checkpoints()
 
 
@@ -685,3 +686,38 @@ def test_memory_report_guards(tmp_path):
         rep["argument_size_in_bytes"] + rep["output_size_in_bytes"]
         + rep["temp_size_in_bytes"] - rep["alias_size_in_bytes"])
     assert rep["alias_size_in_bytes"] > 0  # donation actually aliased
+
+
+def test_async_checkpoint_failure_not_poisoning(tmp_path):
+    """One failed background write must surface exactly once and must NOT
+    abort later saves (the SIGTERM interrupted.fckpt path in particular) —
+    the failed future is consumed by the raise, the new save is enqueued
+    before the error re-surfaces, and flush awaits everything."""
+    import pytest as _pytest
+    trainer = _make_trainer(tmp_path)
+    trainer.state = trainer.state  # built lazily below via save
+
+    # real save to spin up the writer pool
+    trainer.save_checkpoint("ok_1.fckpt")
+    trainer.flush_checkpoints()
+    assert (tmp_path / "ckpt" / "ok_1.fckpt").exists()
+
+    # inject a failing write (unwritable path)
+    trainer.save_checkpoint("ok_2.fckpt")  # re-spins the pool
+    def boom():
+        raise OSError("disk full")
+    trainer._ckpt_futures.append(trainer._ckpt_pool.submit(boom))
+    import time
+    time.sleep(0.3)
+
+    # the NEXT save surfaces the old failure exactly once, but its own
+    # write is already enqueued and completes
+    with _pytest.raises(RuntimeError, match="disk full"):
+        trainer.save_checkpoint("interrupted.fckpt")
+    trainer.flush_checkpoints()  # must not re-raise; awaits remaining
+    assert (tmp_path / "ckpt" / "interrupted.fckpt").exists()
+
+    # later saves are clean
+    trainer.save_checkpoint("ok_3.fckpt")
+    trainer.flush_checkpoints()
+    assert (tmp_path / "ckpt" / "ok_3.fckpt").exists()
