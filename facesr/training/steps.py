@@ -93,6 +93,7 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     param_labels: Any = None,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW with global-norm clipping and optional accumulation, LR injected
     as a runtime hyperparameter (reference optimizer: trainer.py:217-221).
@@ -100,6 +101,15 @@ def make_optimizer(
     `param_labels`: optional pytree of 'frozen'/'train' labels (transfer
     model's progressive unfreezing); frozen leaves get zero updates, the
     torch-equivalent of requires_grad=False params sitting in the optimizer.
+
+    `skip_nonfinite` > 0: wrap in optax.apply_if_finite — a step whose
+    gradients contain inf/NaN leaves params AND optimizer moments untouched
+    (the reference's AMP GradScaler skips stepping on overflow,
+    trainer.py:482-505; bf16 on TPU keeps the f32 exponent range so this
+    is rarer, but GAN losses can still produce NaNs). The value is the
+    number of CONSECUTIVE bad steps tolerated before the guard gives up
+    and lets the NaNs poison the params (so a persistently broken run
+    still fails loudly instead of silently never updating).
     """
     parts = []
     if gradient_clip and gradient_clip > 0:
@@ -119,6 +129,8 @@ def make_optimizer(
         )
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     return tx
 
 
@@ -161,6 +173,9 @@ def make_train_step(
                                   opt_state=opt_state, ema_params=ema)
         metrics = dict(comps)
         metrics["loss"] = loss
+        if hasattr(opt_state, "total_notfinite"):
+            # apply_if_finite guard active: running count of skipped steps
+            metrics["opt_notfinite"] = opt_state.total_notfinite
         if grad_norms:
             metrics["grad_norms"] = _grad_norm_tree(grads)
         return new_state, metrics
@@ -257,6 +272,8 @@ def make_gan_train_step(
             "d_real": d_real_score,
             "d_fake": d_fake_score,
         })
+        if hasattr(opt_state, "total_notfinite"):
+            metrics["opt_notfinite"] = opt_state.total_notfinite
         if grad_norms:
             metrics["grad_norms"] = _grad_norm_tree(grads)
         return new_state, metrics

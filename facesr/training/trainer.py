@@ -181,6 +181,14 @@ class TrainerConfig:
     # selection run on the EMA weights and `facesr.ckpt.load_model` serves
     # them by default (prefer_ema). Typical: 0.999.
     ema_decay: float = 0.0
+    # Skip parameter/moment updates on steps whose gradients contain
+    # inf/NaN — the reference's AMP GradScaler skip-step semantics
+    # (trainer.py:482-505) without loss scaling (bf16 keeps the f32
+    # exponent range). Value = consecutive bad steps tolerated before the
+    # guard stops protecting (a persistently broken run must fail loudly,
+    # not silently never update). 0 = off. The running skip count is
+    # reported as the `opt_notfinite` step metric.
+    skip_nonfinite_updates: int = 0
     # Multi-host write discipline: on a multi-process mesh (TPU pod) only
     # process 0 writes checkpoints / validation grids / W&B — N processes
     # race-writing the same best_model.fckpt on shared storage corrupts it.
@@ -385,6 +393,7 @@ class Trainer:
                 gradient_clip=self.config.gradient_clip,
                 accumulation_steps=self.config.accumulation_steps,
                 param_labels=param_labels,
+                skip_nonfinite=self.config.skip_nonfinite_updates,
             )
         opt_state = self.tx.init(model.params)
         opt_state = set_learning_rate(opt_state, self.config.learning_rate)
@@ -398,6 +407,9 @@ class Trainer:
             self.tx_d = make_optimizer(
                 weight_decay=self.config.d_weight_decay,
                 gradient_clip=0.0,
+                # the reference keeps a separate D GradScaler
+                # (trainer.py:229-249) — same skip semantics here
+                skip_nonfinite=self.config.skip_nonfinite_updates,
             )
             d_opt_state = self.tx_d.init(d_params)
             d_opt_state = set_learning_rate(d_opt_state, self.config.d_learning_rate)

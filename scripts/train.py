@@ -303,6 +303,7 @@ def main():
         mesh_shape=(tuple(training_config["mesh_shape"])
                     if training_config.get("mesh_shape") else None),
         pp_microbatches=training_config.get("pp_microbatches", 0),
+        skip_nonfinite_updates=training_config.get("skip_nonfinite_updates", 0),
     )
 
     discriminator = None

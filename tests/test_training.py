@@ -721,3 +721,61 @@ def test_async_checkpoint_failure_not_poisoning(tmp_path):
     trainer.save_checkpoint("ok_3.fckpt")
     trainer.flush_checkpoints()
     assert (tmp_path / "ckpt" / "ok_3.fckpt").exists()
+
+
+def test_skip_nonfinite_updates():
+    """skip_nonfinite guard (the reference GradScaler's skip-step AMP
+    semantics, trainer.py:482-505): a step whose gradients contain NaN
+    leaves params AND Adam moments untouched and bumps the opt_notfinite
+    metric; the next finite step updates normally. Also proves
+    set_learning_rate penetrates the ApplyIfFiniteState wrapper."""
+    from facesr.training import steps as steps_lib
+    from facesr.training.steps import TrainState, make_optimizer, set_learning_rate
+
+    cfg = SMALL
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5, skip_nonfinite=3)
+    opt_state = set_learning_rate(tx.init(params), 1e-3)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       opt_state=opt_state, loss_params=loss_fn.params)
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    step = jax.jit(steps_lib.make_train_step(model_apply, loss_fn.apply, tx,
+                                             scale_factor=4))
+
+    rng = np.random.default_rng(0)
+    good = jnp.asarray(rng.random((4, 32, 32, 3), dtype=np.float32))
+    bad = good.at[0, 0, 0, 0].set(jnp.nan)
+
+    # conv_last: the one leaf guaranteed a nonzero gradient at step 1
+    # (conv_first's grad is exactly zero until the zero-init conv_last moves)
+    before = jax.device_get(state.params)["conv_last"]["w"]
+    state, m = step(state, bad)
+    assert int(m["opt_notfinite"]) == 1
+    after_bad = jax.device_get(state.params)["conv_last"]["w"]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after_bad))
+    # moments untouched too: a following good step produces the same params
+    # as a fresh state taking its first good step
+    state, m2 = step(state, good)
+    assert int(m2["opt_notfinite"]) == 1  # no new skips
+    after_good = jax.device_get(state.params)["conv_last"]["w"]
+    assert np.abs(np.asarray(after_good) - np.asarray(before)).max() > 0
+
+    fresh = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       opt_state=set_learning_rate(tx.init(params), 1e-3),
+                       loss_params=loss_fn.params)
+    fresh, _ = step(fresh, good)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(fresh.params)["conv_last"]["w"]),
+        np.asarray(after_good), atol=1e-7)
+
+
+def test_trainer_skip_nonfinite_wiring(tmp_path):
+    """TrainerConfig.skip_nonfinite_updates wires the guard into BOTH
+    optimizers (the reference keeps separate G/D GradScalers) and the
+    opt_notfinite metric flows through epoch aggregation."""
+    trainer = _make_trainer(tmp_path, gan=True, skip_nonfinite_updates=2)
+    trainer.config.epochs = 1
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    assert np.isfinite(history["d_loss"][0])
