@@ -83,6 +83,11 @@ def main():
                              "(scripts/export_quantized.py output) pinning "
                              "QAT's activation grid to the static serving "
                              "scales (training.qat must be on)")
+    parser.add_argument("--mesh-axes", type=str, default=None,
+                        help="mesh composition override, e.g. data,space / "
+                        "data,model / data,pp (docs/parallelism.md)")
+    parser.add_argument("--mesh-shape", type=str, default=None,
+                        help="mesh shape for multi-axis meshes, e.g. 4,2")
     parser.add_argument("--print-memory", action="store_true",
                         help="print the train step's per-device HBM budget "
                         "(XLA buffer assignment) before training; shows "
@@ -297,10 +302,13 @@ def main():
         d_updates_per_g=gan_config.get("d_updates_per_g", 1),
         gan_start_epoch=gan_config.get("start_epoch", 0),
         scale_factor=data_config.get("scale_factor", 4),
-        # Mesh composition (docs/parallelism.md): e.g.
+        # Mesh composition (docs/parallelism.md): CLI > YAML, e.g.
         #   mesh_axes: data,space   mesh_shape: [4, 2]
-        mesh_axes=training_config.get("mesh_axes", "data"),
-        mesh_shape=(tuple(training_config["mesh_shape"])
+        mesh_axes=(args.mesh_axes
+                   or training_config.get("mesh_axes", "data")),
+        mesh_shape=(tuple(int(s) for s in args.mesh_shape.split(","))
+                    if args.mesh_shape else
+                    tuple(training_config["mesh_shape"])
                     if training_config.get("mesh_shape") else None),
         pp_microbatches=training_config.get("pp_microbatches", 0),
         skip_nonfinite_updates=training_config.get("skip_nonfinite_updates", 0),
