@@ -40,7 +40,6 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import numpy as np
     from facesr.models import face_enhance_net as fen
     from facesr.losses import combined as fc
     from facesr.training import Trainer, TrainerConfig

@@ -196,10 +196,16 @@ def make_gan_train_step(
     compute_dtype=None,
     grad_norms: bool = False,
     ema_decay: float = 0.0,
+    guard_stats: bool = False,
 ) -> Callable:
     """Adversarial step (reference trainer.py:423-505): d_updates_per_g
     discriminator updates on (hr, stop_grad(sr)), then one generator update
-    with content + gan_weight * adversarial loss — all in one XLA program."""
+    with content + gan_weight * adversarial loss — all in one XLA program.
+
+    `guard_stats` (set with skip_nonfinite optimizers): the BN running
+    stats are NOT under the optimizer guard — a NaN batch would poison
+    them permanently even while apply_if_finite protects params — so on a
+    non-finite step the step's INPUT d_stats are kept instead."""
 
     def train_step(state: TrainState, hr: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         hr = hr.astype(jnp.float32)
@@ -253,6 +259,14 @@ def make_gan_train_step(
         (grads,) = g_pullback(sr_bar)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if guard_stats:
+            # any non-finite activation anywhere makes the losses
+            # non-finite; revert the BN running stats to the step's input
+            # so one bad batch can't poison every later D forward
+            ok = jnp.isfinite(g_loss) & jnp.isfinite(d_loss)
+            d_stats = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                d_stats, state.d_stats)
         ema = (_ema_update(state.ema_params, params, ema_decay)
                if ema_decay > 0 else state.ema_params)
 
@@ -274,6 +288,10 @@ def make_gan_train_step(
         })
         if hasattr(opt_state, "total_notfinite"):
             metrics["opt_notfinite"] = opt_state.total_notfinite
+        if hasattr(d_opt_state, "total_notfinite"):
+            # the D has its own guard (reference: separate D GradScaler) —
+            # its silent skips must be visible too
+            metrics["d_opt_notfinite"] = d_opt_state.total_notfinite
         if grad_norms:
             metrics["grad_norms"] = _grad_norm_tree(grads)
         return new_state, metrics

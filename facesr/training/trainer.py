@@ -387,6 +387,15 @@ class Trainer:
             )
         if optimizer is not None:
             self.tx = optimizer
+            if self.config.skip_nonfinite_updates > 0:
+                # a custom optimizer (e.g. the transfer model's
+                # make_stage_optimizer) must not silently lose the guard
+                # the config asked for — apply_if_finite wraps any optax
+                # transformation
+                import optax
+
+                self.tx = optax.apply_if_finite(
+                    self.tx, self.config.skip_nonfinite_updates)
         else:
             self.tx = make_optimizer(
                 weight_decay=self.config.weight_decay,
@@ -489,6 +498,9 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
                 grad_norms=self._grad_norms_on,
                 ema_decay=self.config.ema_decay,
+                # BN running stats sit outside the optimizer guard —
+                # revert them on non-finite steps
+                guard_stats=self.config.skip_nonfinite_updates > 0,
             )
             self._gan_step = jax.jit(gan_step, in_shardings=(repl, bsh),
                                      out_shardings=state_out, donate_argnums=0)
@@ -741,13 +753,20 @@ class Trainer:
                   "No optimization happened.")
 
         totals: Dict[str, float] = {}
+        last: Dict[str, float] = {}
         # ONE host transfer for the whole epoch's metric scalars — a
         # float(v) per scalar would round-trip the tunnel per value
         for metrics in jax.device_get(pending):
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
+                last[k] = float(v)
 
         out = {k: v / max(num_batches, 1) for k, v in totals.items()}
+        # cumulative counters: averaging a running total is meaningless —
+        # the epoch value is the LAST step's count
+        for k in ("opt_notfinite", "d_opt_notfinite"):
+            if k in last:
+                out[k] = last[k]
         out["time_s"] = time.time() - t0
         out.setdefault("loss", 0.0)
         return out

@@ -350,7 +350,14 @@ def main():
     )
 
     if args.print_memory:
-        trainer.memory_report(batch_size, hr_patch)
+        # report on the shape the train loop actually executes: batches
+        # are trimmed down (or padded up) to the mesh's batch divisor
+        div = trainer._batch_divisor
+        eff = batch_size - batch_size % div if batch_size >= div else div
+        if eff != batch_size:
+            print(f"(--print-memory: reporting on the effective batch "
+                  f"{eff}, the train loop's trim/pad of {batch_size})")
+        trainer.memory_report(eff, hr_patch)
 
     # CLI --resume is a full resume (unless --fine-tune); a `resume:` path
     # from the stage YAML is stage *chaining* and always loads weights-only —

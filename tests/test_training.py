@@ -829,3 +829,53 @@ def test_trainer_mesh_axes_gan_compositions(tmp_path):
         assert abs(loss - base_loss) < 1e-5, (axes, loss, base_loss)
         assert abs(d - base_d) < 1e-5, (axes, d, base_d)
         assert abs(real - base_real) < 1e-5, (axes, real, base_real)
+
+
+def test_skip_nonfinite_gan_stats_guard():
+    """The optimizer guard alone can't save GAN training: BN running
+    stats sit outside apply_if_finite, so a NaN batch would poison every
+    later D forward. With guard_stats (wired by the Trainer when
+    skip_nonfinite_updates > 0) the step reverts d_stats on non-finite
+    losses; the next finite step trains normally."""
+    from facesr.training import steps as steps_lib
+    from facesr.training.steps import TrainState, make_optimizer, set_learning_rate
+
+    cfg = SMALL
+    params = fen.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = fc.create_loss_function(l1_weight=1.0, perceptual_weight=0.0)
+    dcfg, dparams, dstats = disc_lib.create_discriminator(input_size=32,
+                                                          base_channels=8)
+    tx = make_optimizer(weight_decay=0.0, gradient_clip=0.5, skip_nonfinite=3)
+    tx_d = make_optimizer(weight_decay=0.0, gradient_clip=0.0, skip_nonfinite=3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        opt_state=set_learning_rate(tx.init(params), 1e-3),
+        loss_params=loss_fn.params, d_params=dparams, d_stats=dstats,
+        d_opt_state=set_learning_rate(tx_d.init(dparams), 1e-3))
+    model_apply = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train, dtype=dtype)
+    disc_apply = lambda p, s, x, train: disc_lib.apply(p, s, x, dcfg, train=train)
+    step = jax.jit(steps_lib.make_gan_train_step(
+        model_apply, loss_fn.apply, disc_apply, tx, tx_d, scale_factor=4,
+        gan_weight=0.01, guard_stats=True))
+
+    rng = np.random.default_rng(0)
+    good = jnp.asarray(rng.random((4, 32, 32, 3), dtype=np.float32))
+    bad = good.at[0, 0, 0, 0].set(jnp.nan)
+
+    stats_before = jax.device_get(state.d_stats)
+    state, m = step(state, bad)
+    assert int(m["opt_notfinite"]) == 1 and int(m["d_opt_notfinite"]) == 1
+    stats_after = jax.device_get(state.d_stats)
+    d = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                     stats_before, stats_after)
+    assert max(jax.tree.leaves(d), default=0.0) == 0.0  # stats reverted
+
+    state, m2 = step(state, good)
+    assert np.isfinite(float(m2["loss"])) and np.isfinite(float(m2["d_loss"]))
+    assert int(m2["opt_notfinite"]) == 1  # no new skips
+    stats_final = jax.device_get(state.d_stats)
+    assert all(np.all(np.isfinite(v)) for v in jax.tree.leaves(stats_final))
+    # and the good step actually moved the running stats
+    d2 = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                      stats_after, stats_final)
+    assert max(jax.tree.leaves(d2), default=0.0) > 0
