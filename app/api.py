@@ -50,7 +50,8 @@ class SRService:
 
     def __init__(self, checkpoint_dir: str, dtype: str | None = None,
                  calib_dir: str | None = None, quant_cache: str | None = None,
-                 batch_window_ms: float = 0.0, max_batch: int = 0):
+                 batch_window_ms: float = 0.0, max_batch: int = 0,
+                 exported: str | None = None):
         """dtype: None/'f32' direct forwards; 'bf16'/'int8'/'int8_full'
         route through ShardedPredictor ('int8' = weight-only quantization,
         'int8_full' also quantizes activations onto the MXU's s8 pipe —
@@ -60,13 +61,29 @@ class SRService:
         on them (faster hot path than the default dynamic per-image scales).
         batch_window_ms > 0 coalesces concurrent requests into one device
         batch (facesr.parallel.serving.MicroBatcher) of up to `max_batch`
-        images (0 = a device-count multiple default)."""
-        from app.demo import load_models_from_checkpoints
+        images (0 = a device-count multiple default).
+        exported: comma-separated AOT artifact paths (scripts/
+        export_serving.py) served under their filename stems — the full
+        deployment loop: weights + precision are baked into the artifact,
+        so no checkpoints (or model code) are needed; `dtype` does not
+        apply to them. With only `exported`, checkpoint_dir may be empty."""
+        from pathlib import Path
 
-        self.models = load_models_from_checkpoints(checkpoint_dir)
-        if not self.models:
+        self.exported = {}
+        if exported:
+            from facesr.ckpt.export import load_exported
+
+            for path in [p.strip() for p in exported.split(",") if p.strip()]:
+                self.exported[Path(path).stem] = load_exported(path)
+
+        self.models = {}
+        if not self.exported or Path(checkpoint_dir).exists():
+            from app.demo import load_models_from_checkpoints
+
+            self.models = load_models_from_checkpoints(checkpoint_dir)
+        if not self.models and not self.exported:
             raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
-        self.default = next(iter(self.models))
+        self.default = next(iter({**self.models, **self.exported}))
         self.predictors = {}
         self.batchers = {}
         import jax
@@ -122,12 +139,16 @@ class SRService:
                     return np.clip(np.asarray(m_(jnp.asarray(b))), 0, 1)[:k]
                 return fn
 
+            # exported artifacts batch through the same pow2-padding
+            # wrapper: their batch dim is symbolic, so each padded size
+            # compiles once, exactly like the raw-model jit
+            servables = {**self.models, **self.exported}
             self.batchers = {
                 name: MicroBatcher(
                     (self.predictors[name] if name in self.predictors
                      else raw_batched(m)),
                     max_batch=mb, window_ms=batch_window_ms)
-                for name, m in self.models.items()
+                for name, m in servables.items()
             }
 
     def model_info(self):
@@ -139,6 +160,16 @@ class SRService:
             info = asdict(cfg) if is_dataclass(cfg) else dict(vars(cfg))
             info["model_class"] = type(m).__name__
             out[name] = info
+        for name, fn in self.exported.items():
+            ex = getattr(fn, "exported", None)
+            out[name] = {
+                "model_class": "ExportedArtifact",
+                "input_shape": (str(ex.in_avals[0].shape)
+                                if ex is not None and ex.in_avals else None),
+                "platforms": (list(ex.platforms)
+                              if ex is not None and
+                              getattr(ex, "platforms", None) else None),
+            }
         return out
 
     def super_resolve(self, image_bytes: bytes, model_name: str | None = None) -> bytes:
@@ -146,8 +177,9 @@ class SRService:
         import jax.numpy as jnp
 
         name = model_name or self.default
-        if name not in self.models:
-            raise KeyError(f"unknown model {name!r}; available: {list(self.models)}")
+        if name not in self.models and name not in self.exported:
+            raise KeyError(f"unknown model {name!r}; available: "
+                           f"{list(self.models) + list(self.exported)}")
         buf = np.frombuffer(image_bytes, np.uint8)
         bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
         if bgr is None:
@@ -158,6 +190,8 @@ class SRService:
             sr = self.batchers[name](lr)
         elif name in self.predictors:
             sr = self.predictors[name](lr[None])[0]
+        elif name in self.exported:
+            sr = np.clip(self.exported[name](lr[None]), 0, 1)[0]
         else:
             sr = np.asarray(self.models[name](jnp.asarray(lr[None])))[0]
         sr_u8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
@@ -188,7 +222,8 @@ def make_handler(service: SRService):
 
                     info = {
                         "status": "ok",
-                        "models": list(service.models),
+                        "models": (list(service.models)
+                                   + list(service.exported)),
                         "device": jax.devices()[0].platform,
                     }
                     if service.batchers:
@@ -236,12 +271,14 @@ def make_handler(service: SRService):
 def serve(checkpoint_dir: str, port: int = 8000, host: str = "0.0.0.0",
           dtype: str | None = None, calib_dir: str | None = None,
           quant_cache: str | None = None, batch_window_ms: float = 0.0,
-          max_batch: int = 0):
+          max_batch: int = 0, exported: str | None = None):
     service = SRService(checkpoint_dir, dtype=dtype, calib_dir=calib_dir,
                         quant_cache=quant_cache,
-                        batch_window_ms=batch_window_ms, max_batch=max_batch)
+                        batch_window_ms=batch_window_ms, max_batch=max_batch,
+                        exported=exported)
     server = ThreadingHTTPServer((host, port), make_handler(service))
-    print(f"facesr API serving {list(service.models)} on {host}:{port}")
+    print(f"facesr API serving "
+          f"{list(service.models) + list(service.exported)} on {host}:{port}")
     return server
 
 
@@ -272,6 +309,11 @@ def main():
                              "0 = one forward per request")
     parser.add_argument("--max-batch", type=int, default=0,
                         help="micro-batch size cap (0 = 4x device count)")
+    parser.add_argument("--exported", type=str, default=None,
+                        help="comma-separated AOT artifacts "
+                             "(scripts/export_serving.py) served under "
+                             "their filename stems — weights + precision "
+                             "baked in, no checkpoints needed")
     args = parser.parse_args()
 
     if args.platform:
@@ -282,7 +324,7 @@ def main():
     server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype,
                    calib_dir=args.calib_dir, quant_cache=args.quant_cache,
                    batch_window_ms=args.batch_window_ms,
-                   max_batch=args.max_batch)
+                   max_batch=args.max_batch, exported=args.exported)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -274,3 +274,57 @@ def test_api_microbatched_serving_matches_unbatched(tmp_path):
     finally:
         srv_plain.shutdown()
         srv_mb.shutdown()
+
+
+def test_api_exported_artifact_serving(tmp_path):
+    """The deployment loop closed: export once (AOT StableHLO artifact,
+    weights + precision baked in), then serve the HTTP API from the
+    artifact ALONE — no checkpoints on the serving host. Output must
+    match the checkpoint-served forward (f32 export is ~bit-exact)."""
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                   blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_model(str(ckpt_dir / "best_model.fckpt"), model.params, cfg, "custom")
+
+    from facesr.ckpt.export import export_serving
+    art = tmp_path / "face_sr_f32.jaxexp"
+    art.write_bytes(export_serving(model, dtype=None, input_size=64,
+                                   platforms=("cpu",)))
+
+    from app.api import serve
+
+    # artifact-only service: checkpoint dir does not exist on this "host"
+    srv_art = serve(str(tmp_path / "nonexistent"), port=0, host="127.0.0.1",
+                    exported=str(art))
+    srv_ckpt = serve(str(ckpt_dir), port=0, host="127.0.0.1")
+    for srv in (srv_art, srv_ckpt):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        p_art = srv_art.server_address[1]
+        p_ckpt = srv_ckpt.server_address[1]
+
+        status, _, data = _request(p_art, "GET", "/health")
+        assert status == 200
+        assert json.loads(data)["models"] == ["face_sr_f32"]
+        status, _, data = _request(p_art, "GET", "/models")
+        info = json.loads(data)["face_sr_f32"]
+        assert info["model_class"] == "ExportedArtifact"
+
+        rng = np.random.default_rng(3)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        s1, ct1, d1 = _request(p_art, "POST", "/super-resolve",
+                               body=png.tobytes())
+        s2, _, d2 = _request(p_ckpt, "POST", "/super-resolve",
+                             body=png.tobytes())
+        assert s1 == 200 and ct1 == "image/png" and s2 == 200
+        a = cv2.imdecode(np.frombuffer(d1, np.uint8), cv2.IMREAD_COLOR)
+        b = cv2.imdecode(np.frombuffer(d2, np.uint8), cv2.IMREAD_COLOR)
+        assert a.shape == (256, 256, 3)
+        # f32 artifact: identical up to the u8 rounding of a <=1e-5 drift
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    finally:
+        srv_art.shutdown()
+        srv_ckpt.shutdown()
