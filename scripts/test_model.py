@@ -147,7 +147,13 @@ def _print_row(r: dict) -> None:
 
 def main():
     parser = argparse.ArgumentParser(description="Test Face Super-Resolution Model")
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--exported", type=str, default=None,
+                        help="evaluate an AOT serving artifact "
+                             "(scripts/export_serving.py) instead of a "
+                             "checkpoint — QA the exact deployed program. "
+                             "The artifact's spatial input size must match "
+                             "the dataset's LR size (HR / scale).")
     parser.add_argument("--config", type=str, default=None,
                         help="Explicit model config YAML override "
                              "(reference test_model.py --config)")
@@ -179,7 +185,23 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    model = load_model(args.checkpoint, config_yaml=args.config)
+    if not args.checkpoint and not args.exported:
+        parser.error("one of --checkpoint / --exported is required")
+    artifact = None
+    if args.exported:
+        from facesr.ckpt.export import load_exported
+
+        art_fn = load_exported(args.exported)
+        artifact = lambda b: np.clip(art_fn(np.asarray(b, np.float32)), 0, 1)
+
+        class _ArtifactModel:
+            def __call__(self, x):
+                return artifact(x)
+
+        model = _ArtifactModel()
+        print(f"Evaluating exported artifact {args.exported}")
+    else:
+        model = load_model(args.checkpoint, config_yaml=args.config)
     input_path = Path(args.input)
     output_dir = Path(args.output)
 
@@ -214,7 +236,11 @@ def main():
 
         from facesr.data.dataset import _read_rgb
 
-        predictor = make_predictor(model, max_batch=args.batch_size)
+        # artifacts carry their own compiled program — batch straight
+        # through them (symbolic batch dim); checkpoints go through the
+        # sharded predictor
+        predictor = (artifact if artifact is not None
+                     else make_predictor(model, max_batch=args.batch_size))
         output_dir.mkdir(parents=True, exist_ok=True)
         for start in range(0, len(files), 256):
             chunk_files = files[start:start + 256]

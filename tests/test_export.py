@@ -96,6 +96,25 @@ def test_export_file_and_cli(tmp_path):
     assert y.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(y))
 
+    # the artifact is a first-class eval target: test_model.py --exported
+    # scores the exact deployed program on a directory (QA what you ship)
+    import cv2
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(hr_dir / f"im_{i}.png"), cv2.GaussianBlur(img, (15, 15), 4))
+    proc = subprocess.run(
+        [sys.executable, "scripts/test_model.py",
+         "--exported", str(out), "--input", str(hr_dir),
+         "--output", str(tmp_path / "eval_out"), "--no-save",
+         "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Evaluating exported artifact" in proc.stdout
+    assert "vs bicubic" in proc.stdout
+
     # bf16 --verify must pass with the dtype-appropriate tolerance (its
     # legit drift is ~one bf16 ulp; a hard 1e-5 gate spuriously failed it
     # — 'tpu, cpu' also checks platform-list whitespace handling)
