@@ -49,6 +49,21 @@ def load_models_from_checkpoints(checkpoint_dir: str = "checkpoints") -> dict:
     return models
 
 
+def load_exported_servables(exported: str) -> dict:
+    """AOT serving artifacts (scripts/export_serving.py) as demo-servable
+    callables, keyed by filename stem — weights + precision baked in, no
+    checkpoints needed on the demo host (same surface as api --exported)."""
+    from facesr.ckpt.export import load_exported
+
+    servables = {}
+    for spec in [p.strip() for p in exported.split(",") if p.strip()]:
+        fn = load_exported(spec)
+        servables[Path(spec).stem] = (
+            lambda x, _fn=fn: np.clip(_fn(np.asarray(x, np.float32)), 0, 1))
+        print(f"Loaded exported artifact {spec}")
+    return servables
+
+
 def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
                     quant_cache: str = None, max_batch: int = 8) -> dict:
     """Route every model through ShardedPredictor when a serving dtype is
@@ -143,7 +158,7 @@ def process_image(image_rgb: np.ndarray, model, lpips_fn=None):
 
 def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
                 dtype: str = None, calib_dir: str = None,
-                quant_cache: str = None):
+                quant_cache: str = None, exported: str = None):
     """Build the Gradio Blocks UI (reference :396-501): model vs Bicubic vs
     Lanczos4 side-by-side with per-method metric rows and a validation
     sample picker (reference :268-393)."""
@@ -151,10 +166,13 @@ def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
 
     from facesr.evaluation.metrics import LPIPS
 
-    models = load_models_from_checkpoints(checkpoint_dir)
-    if not models:
+    models = (load_models_from_checkpoints(checkpoint_dir)
+              if not exported or Path(checkpoint_dir).exists() else {})
+    if not models and not exported:
         raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
     models = wrap_predictors(models, dtype, calib_dir, quant_cache)
+    if exported:
+        models.update(load_exported_servables(exported))
     lpips_fn = LPIPS()
     model_names = list(models)
 
@@ -231,6 +249,10 @@ def main():
     parser.add_argument("--quant-cache", type=str, default=None,
                         help="path prefix persisting calibrated int8 trees "
                              "so demo restarts skip calibration")
+    parser.add_argument("--exported", type=str, default=None,
+                        help="comma-separated AOT serving artifacts "
+                             "(scripts/export_serving.py) added to the "
+                             "model picker — no checkpoints needed")
     args = parser.parse_args()
 
     if args.platform:
@@ -241,12 +263,16 @@ def main():
     if args.image:
         from facesr.evaluation.metrics import LPIPS
 
-        models = load_models_from_checkpoints(args.checkpoint_dir)
-        if not models:
+        models = (load_models_from_checkpoints(args.checkpoint_dir)
+                  if not args.exported or Path(args.checkpoint_dir).exists()
+                  else {})
+        if not models and not args.exported:
             print(f"No checkpoints in {args.checkpoint_dir}")
             return
         models = wrap_predictors(models, args.dtype, args.calib_dir,
                                  args.quant_cache)
+        if args.exported:
+            models.update(load_exported_servables(args.exported))
         name = next(iter(models))
         bgr = cv2.imread(args.image)
         if bgr is None:
@@ -269,7 +295,7 @@ def main():
         return
     demo = create_demo(args.checkpoint_dir, args.sample_dir,
                        dtype=args.dtype, calib_dir=args.calib_dir,
-                       quant_cache=args.quant_cache)
+                       quant_cache=args.quant_cache, exported=args.exported)
     demo.launch(server_port=args.port, share=args.share)
 
 

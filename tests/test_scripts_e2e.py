@@ -438,3 +438,23 @@ def test_validate_parity_unmatched_model_fails():
         model_names={"custom_gan"})
     assert not fail2
     assert all(e["status"] == "PASS" for e in report2)
+
+
+def test_demo_headless_exported(workdir):
+    """The demo serves an AOT artifact (--exported) with no checkpoints on
+    the host — same deployment surface as api --exported."""
+    art = workdir / "serve" / "tiny_f32.jaxexp"
+    run(["scripts/export_serving.py",
+         "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+         "--output", str(art), "--dtype", "f32",
+         "--platforms", "cpu", "--platform", "cpu"])
+    raw = next((workdir / "raw").glob("*.png"))
+    out = run(["app/demo.py",
+               "--checkpoint-dir", str(workdir / "no_such_dir"),
+               "--exported", str(art),
+               "--image", str(raw),
+               "--output", str(workdir / "demo_out_exported"),
+               "--platform", "cpu"])
+    assert "Loaded exported artifact" in out
+    assert (workdir / "demo_out_exported" / "sr.png").exists()
+    assert "Model: PSNR" in out
