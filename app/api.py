@@ -71,10 +71,13 @@ class SRService:
 
         self.exported = {}
         if exported:
-            from facesr.ckpt.export import load_exported
+            from facesr.ckpt.export import load_exported_many
 
-            for path in [p.strip() for p in exported.split(",") if p.strip()]:
-                self.exported[Path(path).stem] = load_exported(path)
+            # loud load-time validation: spatial size must match the LR
+            # this server feeds; micro-batching needs a symbolic batch dim
+            self.exported = load_exported_many(
+                exported, spatial=64,
+                require_symbolic_batch=batch_window_ms > 0)
 
         self.models = {}
         if not self.exported or Path(checkpoint_dir).exists():
@@ -83,6 +86,11 @@ class SRService:
             self.models = load_models_from_checkpoints(checkpoint_dir)
         if not self.models and not self.exported:
             raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
+        dup = set(self.models) & set(self.exported)
+        if dup:
+            raise ValueError(f"exported artifact name(s) {sorted(dup)} "
+                             f"collide with checkpoint model names — "
+                             f"rename the artifact")
         self.default = next(iter({**self.models, **self.exported}))
         self.predictors = {}
         self.batchers = {}

@@ -52,16 +52,36 @@ def load_models_from_checkpoints(checkpoint_dir: str = "checkpoints") -> dict:
 def load_exported_servables(exported: str) -> dict:
     """AOT serving artifacts (scripts/export_serving.py) as demo-servable
     callables, keyed by filename stem — weights + precision baked in, no
-    checkpoints needed on the demo host (same surface as api --exported)."""
-    from facesr.ckpt.export import load_exported
+    checkpoints needed on the demo host (same surface as api --exported).
+    Shape/duplicate validation is loud at load time
+    (facesr.ckpt.export.load_exported_many)."""
+    from facesr.ckpt.export import load_exported_many
 
     servables = {}
-    for spec in [p.strip() for p in exported.split(",") if p.strip()]:
-        fn = load_exported(spec)
-        servables[Path(spec).stem] = (
-            lambda x, _fn=fn: np.clip(_fn(np.asarray(x, np.float32)), 0, 1))
-        print(f"Loaded exported artifact {spec}")
+    for name, fn in load_exported_many(exported, spatial=LR_SIZE).items():
+        # load_exported already coerces input dtype/placement — no host
+        # round-trip needed here
+        servables[name] = lambda x, _fn=fn: np.clip(_fn(x), 0, 1)
+        print(f"Loaded exported artifact {name}")
     return servables
+
+
+def _assemble_models(checkpoint_dir: str, dtype: str = None,
+                     calib_dir: str = None, quant_cache: str = None,
+                     exported: str = None) -> dict:
+    """One model-assembly path for the UI and headless modes: checkpoints
+    (optional when artifacts are given) -> serving-dtype predictors ->
+    exported artifacts, with loud name collisions."""
+    servables = load_exported_servables(exported) if exported else {}
+    models = (load_models_from_checkpoints(checkpoint_dir)
+              if not servables or Path(checkpoint_dir).exists() else {})
+    models = wrap_predictors(models, dtype, calib_dir, quant_cache)
+    dup = set(models) & set(servables)
+    if dup:
+        raise ValueError(f"exported artifact name(s) {sorted(dup)} collide "
+                         f"with checkpoint model names — rename the artifact")
+    models.update(servables)
+    return models
 
 
 def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
@@ -166,13 +186,11 @@ def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
 
     from facesr.evaluation.metrics import LPIPS
 
-    models = (load_models_from_checkpoints(checkpoint_dir)
-              if not exported or Path(checkpoint_dir).exists() else {})
-    if not models and not exported:
-        raise RuntimeError(f"No checkpoints found in {checkpoint_dir}")
-    models = wrap_predictors(models, dtype, calib_dir, quant_cache)
-    if exported:
-        models.update(load_exported_servables(exported))
+    models = _assemble_models(checkpoint_dir, dtype, calib_dir, quant_cache,
+                              exported)
+    if not models:
+        raise RuntimeError(f"No checkpoints found in {checkpoint_dir} "
+                           f"(and no --exported artifacts)")
     lpips_fn = LPIPS()
     model_names = list(models)
 
@@ -202,10 +220,14 @@ def create_demo(checkpoint_dir: str = "checkpoints", sample_dir: str = None,
         gr.Markdown("# Face Super-Resolution — 4x (64 -> 256), TPU-native")
         if dtype and dtype != "f32":
             # calibration only applies to the int8_full path (wrap_predictors
-            # ignores --calib-dir otherwise) — don't claim it elsewhere
+            # ignores --calib-dir otherwise) — don't claim it elsewhere;
+            # exported artifacts serve their own BAKED precision, so the
+            # banner must not overclaim for them either
             gr.Markdown(f"Serving dtype: `{dtype}`"
                         + (" (calibrated static scales)"
-                           if calib_dir and dtype == "int8_full" else ""))
+                           if calib_dir and dtype == "int8_full" else "")
+                        + (" — exported artifacts serve their baked "
+                           "precision instead" if exported else ""))
         with gr.Row():
             with gr.Column():
                 inp = gr.Image(label="Input image (LR or HR)", type="numpy")
@@ -263,16 +285,13 @@ def main():
     if args.image:
         from facesr.evaluation.metrics import LPIPS
 
-        models = (load_models_from_checkpoints(args.checkpoint_dir)
-                  if not args.exported or Path(args.checkpoint_dir).exists()
-                  else {})
-        if not models and not args.exported:
-            print(f"No checkpoints in {args.checkpoint_dir}")
+        models = _assemble_models(args.checkpoint_dir, args.dtype,
+                                  args.calib_dir, args.quant_cache,
+                                  args.exported)
+        if not models:
+            print(f"No checkpoints in {args.checkpoint_dir} "
+                  f"(and no --exported artifacts)")
             return
-        models = wrap_predictors(models, args.dtype, args.calib_dir,
-                                 args.quant_cache)
-        if args.exported:
-            models.update(load_exported_servables(args.exported))
         name = next(iter(models))
         bgr = cv2.imread(args.image)
         if bgr is None:

@@ -102,3 +102,45 @@ def load_exported(path_or_bytes):
 
     call.exported = exported
     return call
+
+
+def load_exported_many(spec: str, spatial: Optional[int] = None,
+                       require_symbolic_batch: bool = False) -> dict:
+    """Load a comma-separated list of artifact paths, keyed by filename
+    stem — the shared parser behind `api --exported`, `demo --exported`.
+
+    Loud at LOAD time instead of per-request tracebacks:
+      - `spatial`: the LR size the server will feed; a mismatched artifact
+        (exported with a different --input-size) is rejected here.
+      - `require_symbolic_batch`: servers that batch variably (request
+        micro-batching) reject artifacts with a pinned batch dim.
+      - duplicate stems (same-named artifacts from different directories)
+        are rejected rather than silently shadowing each other.
+    """
+    from pathlib import Path
+
+    out = {}
+    for path in [p.strip() for p in spec.split(",") if p.strip()]:
+        fn = load_exported(path)
+        ex = getattr(fn, "exported", None)
+        if ex is not None and ex.in_avals:
+            shape = ex.in_avals[0].shape
+            b, h, w = shape[0], shape[1], shape[2]
+            if spatial is not None and isinstance(h, int) and \
+                    (h, w) != (spatial, spatial):
+                raise ValueError(
+                    f"{path}: artifact expects {h}x{w} inputs but this "
+                    f"server feeds {spatial}x{spatial} LR images — "
+                    f"re-export with --input-size {spatial}")
+            if isinstance(b, int) and (require_symbolic_batch or b != 1):
+                raise ValueError(
+                    f"{path}: artifact batch dimension is pinned to {b} "
+                    f"but this server feeds variable batches — re-export "
+                    f"without --batch (symbolic batch)")
+        stem = Path(path).stem
+        if stem in out:
+            raise ValueError(
+                f"duplicate artifact name {stem!r} ({path}) — artifacts "
+                f"are keyed by filename stem; rename one")
+        out[stem] = fn
+    return out

@@ -127,3 +127,32 @@ def test_export_file_and_cli(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "OK" in proc.stdout
+
+
+def test_load_exported_many_validation(tmp_path):
+    """Shared --exported parser: loud load-time rejection of spatial
+    mismatches, pinned batch dims (when variable batching is required),
+    and duplicate artifact stems."""
+    model = _tiny_model(seed=7)
+    from facesr.ckpt.export import export_serving, load_exported_many
+
+    sym = tmp_path / "a.jaxexp"
+    sym.write_bytes(export_serving(model, input_size=16, platforms=("cpu",)))
+    pinned = tmp_path / "p.jaxexp"
+    pinned.write_bytes(export_serving(model, batch=4, input_size=16,
+                                      platforms=("cpu",)))
+
+    got = load_exported_many(str(sym), spatial=16)
+    assert list(got) == ["a"]
+
+    with pytest.raises(ValueError, match="16x16"):
+        load_exported_many(str(sym), spatial=64)
+    with pytest.raises(ValueError, match="pinned to 4"):
+        load_exported_many(str(pinned), spatial=16)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "a.jaxexp").write_bytes(sym.read_bytes())
+    with pytest.raises(ValueError, match="duplicate artifact name"):
+        load_exported_many(f"{sym},{sub / 'a.jaxexp'}", spatial=16)
+    # whitespace/empty specs parse to an empty dict, not a crash
+    assert load_exported_many(" , ") == {}
