@@ -109,13 +109,17 @@ class SRService:
             if calib_dir and dtype == "int8_full":
                 calibration = _load_calibration_images(calib_dir)
             jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
+            # calibration artifacts only exist on the int8_full path —
+            # plumbing them elsewhere would just trigger the loud
+            # ignored-arguments warning per model
+            qc = quant_cache if dtype == "int8_full" else None
             self.predictors = {
                 name: ShardedPredictor(
                     m, dtype=jdtype, max_batch=max(n, max_batch or 0, mb),
                     calibration=calibration,
                     quant_cache=(
-                        f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
-                        if quant_cache else None))
+                        f"{qc}.{name.lower().replace(' ', '_')}.fckpt"
+                        if qc else None))
                 for name, m in self.models.items()
             }
         if batch_window_ms > 0:

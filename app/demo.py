@@ -105,7 +105,7 @@ def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
         name: ShardedPredictor(
             m, dtype=jdtype, max_batch=max_batch, calibration=calibration,
             quant_cache=(f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
-                         if quant_cache else None))
+                         if quant_cache and dtype == "int8_full" else None))
         for name, m in models.items()
     }
 

@@ -112,10 +112,13 @@ def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "data") -> Any:
         if any(k == "ca" or k.startswith("fc") for k in keys):
             return NamedSharding(mesh, P())
         shape = np.shape(leaf)
-        if len(shape) >= 4 and shape[-1] % n == 0:
+        # shard the TRAILING (channel) axis whenever it divides: covers
+        # 4-D/5-D kernels AND the scan-stacked biases / PReLU alphas
+        # ([G, C] / [G, B, C]) whose moments otherwise stayed replicated
+        # (any consistent sharding is semantically exact under SPMD; this
+        # is the memory-capability rule)
+        if len(shape) >= 1 and shape[-1] and shape[-1] % n == 0:
             return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + [axis])))
-        if len(shape) == 1 and shape[0] % n == 0:
-            return NamedSharding(mesh, P(axis))
         return NamedSharding(mesh, P())
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -141,6 +144,11 @@ def pad_to_multiple(array: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     so every batch divides evenly across the mesh.
     """
     n = array.shape[0]
+    if n == 0:
+        # 0 % multiple == 0 would return the empty array "padded" and the
+        # real failure would surface as an opaque XLA shape error later
+        raise ValueError("pad_to_multiple: empty batch (0 rows) — nothing "
+                         "to repeat for padding; check the upstream loader")
     rem = n % multiple
     if rem == 0:
         return array, n

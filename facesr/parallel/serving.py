@@ -33,14 +33,15 @@ def load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
     [0,1] (resized INTER_AREA — the scales are per-site scalars, so the
     calibration shape need not match the serving shape). Shared by the
     HTTP API, the demo, and the compare CLI for the int8_full path."""
-    import glob
-
     import cv2
 
-    paths = sorted(
-        p for ext in ("png", "jpg", "jpeg", "bmp")
-        for p in glob.glob(os.path.join(calib_dir, f"*.{ext}"))
-    )[:limit]
+    from facesr.data.dataset import _list_images
+
+    # the shared case-insensitive lister (camera exports are *.JPG) —
+    # per-extension lowercase globs silently calibrate on a subset
+    from pathlib import Path
+
+    paths = [str(p) for p in _list_images(Path(calib_dir))][:limit]
     imgs = []
     for p in paths:
         bgr = cv2.imread(p, cv2.IMREAD_COLOR)
@@ -55,11 +56,26 @@ def load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
     return np.stack(imgs)
 
 
+def _params_fingerprint(params) -> str:
+    """Content hash of a params pytree (leaf bytes in tree order) — pins a
+    quant cache to the exact weights it was calibrated from."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(params):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 def load_calibrated_qparams(params, cache_path: str):
     """Restore a calibrated int8 tree (scripts/export_quantized.py artifact
     / ShardedPredictor quant_cache) against this model's params structure.
-    Fails loudly on architecture mismatch. Consumers: int8_full serving,
-    and static-scale QAT (facesr.ops.quant.fake_quant_params act_scales)."""
+    Fails loudly on architecture mismatch AND on a weights mismatch: the
+    cache stores the source params' content hash, so a retrained
+    checkpoint cannot silently serve the OLD model's int8 kernels (shape
+    checks alone pass for any same-architecture weights). Consumers:
+    int8_full serving, and static-scale QAT
+    (facesr.ops.quant.fake_quant_params act_scales)."""
     from facesr.ckpt.checkpoint import load_checkpoint
     from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
 
@@ -68,6 +84,17 @@ def load_calibrated_qparams(params, cache_path: str):
     tree, meta = load_checkpoint(cache_path, target=target)
     if meta.get("kind") != "facesr-int8-calibrated":
         raise ValueError(f"{cache_path} is not a calibrated-int8 cache")
+    cached_fp = meta.get("params_sha256")
+    if cached_fp is None:
+        print(f"Warning: quant cache {cache_path} predates weight "
+              f"fingerprinting — cannot verify it matches this model's "
+              f"weights; re-export to silence this")
+    elif cached_fp != _params_fingerprint(params):
+        raise ValueError(
+            f"quant cache {cache_path} was calibrated from DIFFERENT "
+            f"weights than this model's (content hash mismatch) — serving "
+            f"it would silently use the old model; re-run calibration / "
+            f"scripts/export_quantized.py for the current checkpoint")
 
     def check(got, want):
         if np.shape(got) != np.shape(want):
@@ -111,9 +138,7 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
     n = min(max_batch, len(calib))
     chunks = []
     for i in range(0, len(calib), n):
-        c = calib[i:i + n]
-        if len(c) < n:
-            c = np.concatenate([c, np.repeat(c[-1:], n - len(c), axis=0)], axis=0)
+        c, _ = pad_to_multiple(calib[i:i + n], n)
         chunks.append(c)
 
     # Fresh jit per call: the stats callbacks are baked into the trace, so
@@ -135,7 +160,11 @@ def calibrated_qparams(params, apply_fn, calibration: np.ndarray, max_batch: int
         # to_state_dict first: python lists (upsample stages) become
         # indexed dicts, the format from_state_dict restores into targets
         save_checkpoint(cache_path, serialization.to_state_dict(qp),
-                        {"kind": "facesr-int8-calibrated"})
+                        {"kind": "facesr-int8-calibrated",
+                         # pin to the source weights (see
+                         # load_calibrated_qparams): same-architecture
+                         # retrains must not silently serve this cache
+                         "params_sha256": _params_fingerprint(params)})
     return qp
 
 
@@ -160,6 +189,11 @@ def build_serving_fn(apply_fn, params, dtype=None,
     not silently change precision semantics); False falls back to dynamic
     activation scales (a serving process should come up).
     """
+    if dtype != "int8_full" and (calibration is not None or quant_cache):
+        # don't silently drop an explicitly requested calibration artifact
+        # — only the int8_full path has activation scales to calibrate
+        print(f"Warning: calibration/quant_cache only apply to "
+              f"dtype='int8_full' (got dtype={dtype!r}); ignoring them")
     if dtype == "int8":
         from facesr.ops.quant import quantize_pytree, dequantize_pytree
 
@@ -350,14 +384,14 @@ class ShardedPredictor:
         is capped (pipeline depth 3: a chunk drains once two newer ones are
         in flight) to bound live chunk outputs on device."""
         images = np.asarray(images, np.float32)
+        if len(images) == 0:
+            raise ValueError("ShardedPredictor called with 0 images — the "
+                             "input directory/batch is empty")
         outs = []
         in_flight: list = []  # [(device result, valid_count)]
         for i in range(0, len(images), self.max_batch):
-            chunk = images[i:i + self.max_batch]
-            valid = len(chunk)
-            if valid < self.max_batch:
-                filler = np.repeat(chunk[-1:], self.max_batch - valid, axis=0)
-                chunk = np.concatenate([chunk, filler], axis=0)
+            chunk, valid = pad_to_multiple(images[i:i + self.max_batch],
+                                           self.max_batch)
             x = jax.device_put(chunk, batch_sharding(self.mesh))
             in_flight.append((self._fwd(self.params, x), valid))
             if len(in_flight) > 2:

@@ -874,3 +874,29 @@ def test_pipeline_parallel_validation_errors():
     x = jnp.zeros((8, 16, 16, 3), jnp.float32)
     with pytest.raises(ValueError, match="n_micro"):
         jax.jit(lambda p, xx: apply_pp(p, xx))(state.params, x)
+
+
+def test_quant_cache_rejects_retrained_weights(tmp_path):
+    """A quant cache is pinned to the weights it was calibrated from: a
+    same-architecture model with DIFFERENT weights (retrain/fine-tune)
+    must be rejected loudly — shape checks alone pass and would silently
+    serve the OLD model's int8 kernels."""
+    import pytest
+    from facesr.parallel.serving import (calibrated_qparams,
+                                         load_calibrated_qparams)
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                   blocks_per_group=2)
+    params_a = jax.tree.map(np.asarray, fen.init(jax.random.PRNGKey(0), cfg))
+    params_b = jax.tree.map(np.asarray, fen.init(jax.random.PRNGKey(1), cfg))
+    apply_like = lambda p, x, train, dtype: fen.apply(p, x, cfg, train=train,
+                                                      dtype=dtype)
+    calib = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+    cache = str(tmp_path / "q.fckpt")
+    calibrated_qparams(params_a, apply_like, calib, 2, cache_path=cache)
+
+    # same weights: loads fine
+    load_calibrated_qparams(params_a, cache)
+    # different (same-architecture) weights: loud rejection
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        load_calibrated_qparams(params_b, cache)
