@@ -67,15 +67,22 @@ def _params_fingerprint(params) -> str:
     return h.hexdigest()
 
 
-def load_calibrated_qparams(params, cache_path: str):
+def load_calibrated_qparams(params, cache_path: str,
+                            require_weight_match: bool = True):
     """Restore a calibrated int8 tree (scripts/export_quantized.py artifact
     / ShardedPredictor quant_cache) against this model's params structure.
-    Fails loudly on architecture mismatch AND on a weights mismatch: the
-    cache stores the source params' content hash, so a retrained
-    checkpoint cannot silently serve the OLD model's int8 kernels (shape
-    checks alone pass for any same-architecture weights). Consumers:
-    int8_full serving, and static-scale QAT
-    (facesr.ops.quant.fake_quant_params act_scales)."""
+    Fails loudly on architecture mismatch AND — for serving — on a weights
+    mismatch: the cache stores the source params' content hash, so a
+    retrained checkpoint cannot silently serve the OLD model's int8 kernels
+    (shape checks alone pass for any same-architecture weights).
+
+    `require_weight_match=False` downgrades the weights-hash mismatch to a
+    provenance warning. This is the QAT grid-pinning contract (train.py
+    --qat-scales): training deliberately moves weights AWAY from the
+    calibration source, so a later-epoch re-run or a resumed fine-tune
+    legitimately pins to an artifact calibrated from earlier weights — only
+    the *serving* consumers (int8_full predictors, the API/demo/export)
+    need the strict hash."""
     from facesr.ckpt.checkpoint import load_checkpoint
     from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
 
@@ -90,11 +97,17 @@ def load_calibrated_qparams(params, cache_path: str):
               f"fingerprinting — cannot verify it matches this model's "
               f"weights; re-export to silence this")
     elif cached_fp != _params_fingerprint(params):
-        raise ValueError(
-            f"quant cache {cache_path} was calibrated from DIFFERENT "
-            f"weights than this model's (content hash mismatch) — serving "
-            f"it would silently use the old model; re-run calibration / "
-            f"scripts/export_quantized.py for the current checkpoint")
+        if require_weight_match:
+            raise ValueError(
+                f"quant cache {cache_path} was calibrated from DIFFERENT "
+                f"weights than this model's (content hash mismatch) — "
+                f"serving it would silently use the old model; re-run "
+                f"calibration / scripts/export_quantized.py for the "
+                f"current checkpoint")
+        print(f"Note: {cache_path} was calibrated from different weights "
+              f"than the current model's (expected when pinning a QAT grid "
+              f"from an earlier checkpoint; the static scales remain the "
+              f"deployed serving grid)")
 
     def check(got, want):
         if np.shape(got) != np.shape(want):

@@ -352,13 +352,22 @@ class Trainer:
                 axis="pp", dp_axis=self.config.mesh_axis)
             self._model_apply = lambda p, x, train, dtype: apply_pp(
                 p, x, train=train, dtype=dtype)
+        self._qat_scales = qat_scales
+        self._qat_scales_frozen = False
         if self.config.qat:
             from facesr.ops.quant import fake_quant_params
 
             _base_apply = self._model_apply
-            self._model_apply = lambda p, x, train, dtype: _base_apply(
-                fake_quant_params(p, act_scales=qat_scales),
-                x, train=train, dtype=dtype)
+
+            def _qat_apply(p, x, train, dtype):
+                # runs under trace: the scales tree is captured into the
+                # compiled step here, so later set_qat_scales must refuse
+                self._qat_scales_frozen = True
+                return _base_apply(
+                    fake_quant_params(p, act_scales=self._qat_scales),
+                    x, train=train, dtype=dtype)
+
+            self._model_apply = _qat_apply
         self.compute_dtype = jnp.bfloat16 if self.config.use_amp else None
         # The mixed-precision policy extends to the loss's VGG sweep (its
         # 256^2 convs are the single most expensive part of the stage-1
@@ -553,6 +562,21 @@ class Trainer:
                           and self.is_writer)
         if self.use_wandb:
             self._init_wandb()
+
+    # ------------------------------------------------------------------
+    def set_qat_scales(self, qat_scales) -> None:
+        """Pin the fake-quant grid to calibrated scales AFTER construction
+        (but before any step has traced). Exists because the calibration
+        provenance check must see the weights the trainer will actually
+        train — i.e. run after load_checkpoint, which happens after
+        __init__ (scripts/train.py --resume + --qat-scales)."""
+        if not self.config.qat:
+            raise ValueError("set_qat_scales requires config.qat")
+        if self._qat_scales_frozen:
+            raise RuntimeError(
+                "a training/eval step already traced with the previous "
+                "qat_scales; set them before the first step")
+        self._qat_scales = qat_scales
 
     # ------------------------------------------------------------------
     def _init_wandb(self):

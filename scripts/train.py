@@ -330,14 +330,9 @@ def main():
             use_bn=gan_config.get("d_use_bn", True),
         )
 
-    qat_scales = None
-    if args.qat_scales:
-        if not trainer_config.qat:
-            raise SystemExit("--qat-scales requires training.qat: true")
-        from facesr.parallel.serving import load_calibrated_qparams
-
-        qat_scales = load_calibrated_qparams(model.params, args.qat_scales)
-        print(f"QAT pinned to calibrated activation scales from {args.qat_scales}")
+    if args.qat_scales and not trainer_config.qat:
+        # fail fast before building the trainer / touching checkpoints
+        raise SystemExit("--qat-scales requires training.qat: true")
 
     trainer = Trainer(
         model=model,
@@ -346,7 +341,6 @@ def main():
         loss_fn=loss_fn,
         config=trainer_config,
         discriminator=discriminator,
-        qat_scales=qat_scales,
     )
 
     if args.print_memory:
@@ -375,6 +369,18 @@ def main():
         path = checkpoint_config["resume"]
         print(f"\nChaining from stage checkpoint {path} (weights only)")
         trainer.load_checkpoint(path, weights_only=True)
+
+    if args.qat_scales:
+        # after restore, so the provenance check sees the weights training
+        # will actually start from; weight-hash mismatch is a note, not an
+        # error — QAT's whole point is training AWAY from the calibration
+        # source while keeping its static serving grid
+        from facesr.parallel.serving import load_calibrated_qparams
+
+        trainer.set_qat_scales(load_calibrated_qparams(
+            trainer.state.params, args.qat_scales,
+            require_weight_match=False))
+        print(f"QAT pinned to calibrated activation scales from {args.qat_scales}")
 
     print("\n" + "=" * 60)
     print("Starting training...")

@@ -318,6 +318,66 @@ def test_trainer_qat_scales_kwarg(tmp_path):
     assert np.isfinite(history["train_loss"][0])
 
 
+def test_set_qat_scales_after_restore_contract(tmp_path):
+    """VERDICT r3 #1 regression: the --qat-scales flow validates the
+    artifact against the RESTORED weights (set_qat_scales after
+    load_checkpoint), accepts a weights-hash mismatch on the QAT path
+    (require_weight_match=False — training moves weights away from the
+    calibration source), keeps the strict serving contract, and refuses a
+    re-pin once a step has traced."""
+    from facesr.losses import combined as fc
+    from facesr.training import Trainer, TrainerConfig
+    from facesr.ops import quant
+    from facesr.parallel.serving import calibrated_qparams, load_calibrated_qparams
+
+    class FakeLoader:
+        def __init__(self, n=1, batch=8, size=32, seed=0):
+            rng = np.random.default_rng(seed)
+            self.batches = [{"hr": rng.random((batch, size, size, 3),
+                                              dtype=np.float32)}
+                            for _ in range(n)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+    model = fen.FaceEnhanceNet(SMALL)
+    calib = np.random.default_rng(8).random((4, 8, 8, 3)).astype(np.float32)
+    fwd = lambda p, b, train=False, dtype=None: fen.apply(
+        p, b, SMALL, train=train, dtype=dtype)
+    cache = str(tmp_path / "cal.int8.fckpt")
+    calibrated_qparams(model.params, fwd, calib, max_batch=4, cache_path=cache)
+
+    # serving contract: different weights -> strict load raises
+    other = fen.init(jax.random.PRNGKey(99), SMALL)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        load_calibrated_qparams(other, cache)
+    # QAT pin contract: same artifact loads with a provenance note
+    qtree = load_calibrated_qparams(other, cache, require_weight_match=False)
+
+    cfg = TrainerConfig(
+        epochs=1, learning_rate=1e-3, use_amp=False, use_wandb=False,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        save_every=100, scheduler_T_max=1, qat=True,
+    )
+    trainer = Trainer(model, FakeLoader(), FakeLoader(seed=1), loss_fn=
+                      fc.create_loss_function(l1_weight=1.0), config=cfg)
+    trainer.set_qat_scales(qtree)
+    x = jnp.asarray(np.random.default_rng(9).random((2, 8, 8, 3),
+                                                    dtype=np.float32))
+    got = np.asarray(trainer._model_apply(model.params, x, train=False,
+                                          dtype=None))
+    want = np.asarray(fen.apply(
+        quant.fake_quant_params(model.params, act_scales=qtree),
+        x, SMALL, train=False))
+    np.testing.assert_array_equal(got, want)
+    # the trace above froze the grid: re-pinning now must refuse
+    with pytest.raises(RuntimeError, match="already traced"):
+        trainer.set_qat_scales(qtree)
+
+
 def test_qat_sharded_step_matches_single_device():
     """QAT under data parallelism: the fake-quant grids are shard-safe
     (weight scales replicated, activation scales per-IMAGE so reductions
