@@ -33,7 +33,58 @@ REF_GPU_IMGS_PER_SEC = 200.0  # documented estimate (see module docstring)
 TORCH_CPU_HOST_IMGS_PER_SEC = 0.84
 
 
+def _preflight(total_budget_s: float = 600.0, attempt_timeout_s: float = 90.0) -> bool:
+    """Bounded probe that the default backend can actually run a tiny jit.
+
+    The axon tunnel goes fully down for extended periods (CLAUDE.md
+    2026-08-18; VERDICT r3: jax.devices() hung, driver recorded rc=1/124
+    with no way to tell "tunnel down" from "code broken"). Probing
+    IN-PROCESS would hang unkillably inside backend init, so each attempt
+    is a subprocess running a tiny matmul with a hard timeout, retried
+    for up to `total_budget_s`. Returns True when an attempt succeeds."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((256, 256)); "
+                 "print(float(jax.jit(lambda a: (a @ a).sum())(x)))"],
+                capture_output=True, text=True, timeout=attempt_timeout_s,
+            )
+            if proc.returncode == 0:
+                return True
+            err = proc.stderr.strip().splitlines()[-1:] or ["(no stderr)"]
+            print(f"# preflight attempt {attempt} failed: {err[0]}",
+                  flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# preflight attempt {attempt} timed out "
+                  f"({attempt_timeout_s:.0f}s)", flush=True)
+        if time.monotonic() + 30.0 > deadline:
+            return False
+        time.sleep(30.0)
+
+
 def main() -> None:
+    if not _preflight():
+        # parseable diagnostic so the driver record distinguishes "tunnel
+        # down" from "code broken" (the code path was never reached)
+        print(json.dumps({
+            "metric": "images_per_sec_64to256_x4_inference_per_chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "tpu_unavailable",
+            "detail": "default JAX backend failed a tiny-jit preflight "
+                      "for 10 min (axon tunnel down); bench not run",
+        }))
+        return
+
     from facesr.models import face_enhance_net as fen
 
     cfg = fen.FaceEnhanceNetConfig(num_groups=6, blocks_per_group=10, num_channels=64)

@@ -36,3 +36,88 @@ def test_ensure_devices_noop_when_enough():
     before = jax.devices()
     graft._ensure_devices(4)
     assert jax.devices() == before
+
+
+def _write_hanging_python(tmp_path):
+    """A fake `python` that ignores its arguments and sleeps forever —
+    stands in for a backend-init hang on a downed axon tunnel."""
+    script = tmp_path / "hanging_python"
+    script.write_text("#!/bin/sh\nexec sleep 600\n")
+    script.chmod(0o755)
+    return str(script)
+
+
+def test_probe_default_backend_times_out_on_hang(tmp_path, monkeypatch):
+    """VERDICT r3 #2: a hung backend init must cost a bounded probe, not
+    an rc=124. The probe child really hangs here (sleep), so this also
+    exercises the subprocess-timeout kill path."""
+    import time
+
+    monkeypatch.setattr(sys, "executable", _write_hanging_python(tmp_path))
+    t0 = time.monotonic()
+    assert graft._probe_default_backend(timeout_s=2.0) is None
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_probe_default_backend_healthy(monkeypatch):
+    # strip the axon plugin from the child so this passes tunnel-up or
+    # -down: the healthy path under test is the probe's plumbing
+    monkeypatch.setenv("PYTHONPATH", os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    n, platform = graft._probe_default_backend(timeout_s=120.0)
+    assert n >= 1 and platform == "cpu"
+
+
+def test_bench_emits_diagnostic_json_when_tpu_unavailable(tmp_path):
+    """bench.py outage drill: with every preflight child hanging, the
+    script must exit 0 with a parseable {"error": "tpu_unavailable"} line
+    (VERDICT r3 #3: rc=1 left 'tunnel down' indistinguishable from 'code
+    broken' in the driver record)."""
+    import json
+    import subprocess
+
+    hang = _write_hanging_python(tmp_path)
+    code = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import bench
+sys.executable = {hang!r}
+assert not bench._preflight(total_budget_s=4.0, attempt_timeout_s=1.0)
+bench.main.__globals__['_preflight'] = lambda: False
+bench.main()
+"""
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["error"] == "tpu_unavailable"
+    assert rec["value"] is None
+
+
+def test_dryrun_falls_back_to_cpu_when_default_backend_hangs(tmp_path):
+    """End-to-end outage drill in a clean process: no backend initialized,
+    the default-backend probe hangs (stubbed via sys.executable), and
+    dryrun_multichip must still come up green on a forced CPU mesh."""
+    import subprocess
+
+    hang = _write_hanging_python(tmp_path)
+    code = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import __graft_entry__ as graft
+assert not graft._default_backend_initialized()
+sys.executable = {hang!r}  # every probe child now hangs
+import functools
+graft._probe_default_backend = functools.partial(
+    graft._probe_default_backend, timeout_s=2.0)
+graft.dryrun_multichip(8)
+"""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "forcing a 8-device virtual CPU mesh" in proc.stdout
+    assert "dryrun_multichip OK on 8 devices" in proc.stdout
