@@ -322,6 +322,24 @@ class Trainer:
             self._batch_divisor = data_size * n_micro
         else:
             self._batch_divisor = data_size
+        # Multi-process: the loader feeds HOST-LOCAL batches (host_shard
+        # slices), so the per-host divisibility requirement is 1/P of the
+        # global one, and the data axis must split evenly over processes
+        # (jax.devices() is process-major, data is the leading mesh axis).
+        self._proc_count = jax.process_count()
+        if self._proc_count > 1:
+            if data_size % self._proc_count:
+                raise ValueError(
+                    f"multi-process training needs the data axis "
+                    f"({data_size}) divisible by the process count "
+                    f"({self._proc_count})")
+            inner = self.n_devices // data_size
+            if inner > 1 and jax.local_device_count() % inner:
+                raise ValueError(
+                    "composed mesh axes must not span process boundaries: "
+                    f"local device count {jax.local_device_count()} is not "
+                    f"a multiple of the non-data axes' product {inner}")
+        self._local_batch_divisor = self._batch_divisor // self._proc_count
 
         cfgm = self.model_cfg
         if hasattr(model, "apply_fn"):
@@ -618,10 +636,18 @@ class Trainer:
         """Make the batch divisible by the mesh. Remainder samples are
         DROPPED (duplicating them would silently overweight the last sample
         in gradients and bias validation metrics); only a batch smaller than
-        the mesh itself is padded by repetition, with a warning."""
+        the mesh itself is padded by repetition, with a warning.
+
+        Multi-process: `hr` is this host's host_shard-ed loader batch; the
+        global batch (P x local rows) is assembled with
+        jax.make_array_from_process_local_data, so every host's samples
+        land on its own devices and ALL loaded data trains. A plain
+        device_put here would instead treat each host's local batch as the
+        global array and keep only its addressable 1/P of it — silently
+        training on 1/P of the dataset per epoch."""
         hr = np.asarray(hr)
         n = hr.shape[0]
-        div = self._batch_divisor
+        div = self._local_batch_divisor
         rem = n % div
         if rem:
             if n >= div:
@@ -647,6 +673,10 @@ class Trainer:
                     f"image height {hr.shape[1]} must divide over the "
                     f"{rows}-way 'space' axis (pick an hr_patch_size "
                     f"divisible by {rows})")
+        if self._proc_count > 1:
+            global_shape = (hr.shape[0] * self._proc_count,) + hr.shape[1:]
+            return jax.make_array_from_process_local_data(
+                self._batch_sharding, hr, global_shape)
         return jax.device_put(hr, self._batch_sharding)
 
     # ------------------------------------------------------------------
@@ -805,7 +835,11 @@ class Trainer:
             for k in totals:
                 totals[k] += float(metrics[k])
             num_batches += 1
-            if batch_idx == 0:
+            if batch_idx == 0 and self._proc_count == 1:
+                # multi-process: rows [:8] of the global batch live on
+                # process 0's devices only — np.asarray would raise on the
+                # other hosts (non-addressable shards), so pods skip the
+                # validation-grid sample; metrics are unaffected
                 sample = (np.asarray(lr_img[:8]), np.asarray(sr[:8]), np.asarray(hr[:8]))
 
         self._last_val_batches = num_batches

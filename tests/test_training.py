@@ -504,12 +504,28 @@ def test_multihost_write_discipline(tmp_path, monkeypatch):
     """On a multi-process mesh only process 0 writes checkpoints and
     validation grids (VERDICT r2 weak #2: N processes race-writing the same
     best_model.fckpt on shared storage). Data loading stays per-host
-    sharded (disjoint slices), so one writer + N readers is the pod story."""
+    sharded (disjoint slices), so one writer + N readers is the pod story.
+
+    This is the FAST mocked variant (patched process index on one real
+    process); the load-bearing end-to-end evidence is
+    tests/test_multihost_real.py, which spawns two actual jax.distributed
+    processes. Because the Trainer assembles the global batch with
+    make_array_from_process_local_data when process_count > 1 — which a
+    single real process cannot execute — that boundary is emulated here
+    by stacking the local batch process_count times."""
     import jax as _jax
 
     # process 1 of 2: computes everything, writes nothing
     monkeypatch.setattr(_jax, "process_index", lambda: 1)
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
+
+    def fake_from_local(sharding, local, global_shape=None):
+        arr = np.concatenate([np.asarray(local)] * 2, axis=0)
+        assert global_shape is None or tuple(global_shape) == arr.shape
+        return _jax.device_put(arr, sharding)
+
+    monkeypatch.setattr(_jax, "make_array_from_process_local_data",
+                        fake_from_local)
     t1 = _make_trainer(tmp_path / "p1")
     assert not t1.is_writer
     t1.train()
