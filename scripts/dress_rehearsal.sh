@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Full-curriculum dress rehearsal: the reference's stage1->stage2->stage3
+# workflow (reference README.md:37-55, 100+50+20 epochs) at reduced scale
+# (60+25+12 epochs, hr 128) on synthetic faces, end to end through the
+# production CLIs — data prep, three chained training runs, the stage
+# overview figure, and the model-vs-baseline comparison table.
+#
+# Usage:   bash scripts/dress_rehearsal.sh [workdir]
+# Output:  $WORK/ckpt_s{1,2,3}/best_model.fckpt, $WORK/stages_plot/,
+#          $WORK/comparison/
+# On axon: PYTHONPATH=/root/.axon_site:/root/repo bash scripts/dress_rehearsal.sh
+set -euo pipefail
+
+WORK="${1:-/tmp/rehearsal}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+mkdir -p "$WORK"
+
+echo "== [1/6] synthetic faces =="
+python scripts/make_synthetic_faces.py --output "$WORK/raw" --num 608 --size 160 --seed 0
+
+echo "== [2/6] prepare (hr 128 / lr 32, bicubic, hdf5) =="
+python -m facesr.data.prepare_data --input "$WORK/raw" --output "$WORK/processed" \
+    --hr-size 128 --lr-size 32 --hdf5 --train-ratio 0.84 --val-ratio 0.08
+
+# The rehearsal configs point at /tmp/rehearsal; override data/ckpt paths
+# only if a different workdir was given.
+if [ "$WORK" != "/tmp/rehearsal" ]; then
+    ROOT_ARGS=(--data-root "$WORK/processed")
+else
+    ROOT_ARGS=()
+fi
+
+echo "== [3/6] stage 1: PSNR (60 epochs) =="
+python scripts/train.py --config configs/rehearsal/stage1_psnr.yaml \
+    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+
+echo "== [4/6] stage 2: +SSIM (25 epochs, chained from stage-1 best) =="
+python scripts/train.py --config configs/rehearsal/stage2_ssim.yaml \
+    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+
+echo "== [5/6] stage 3: GAN (12 epochs, chained from stage-2 best) =="
+python scripts/train.py --config configs/rehearsal/stage3_gan.yaml \
+    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+
+echo "== [6/6] stage overview + comparison =="
+python scripts/plot_training_stages.py \
+    --stage1 /tmp/rehearsal/ckpt_s1/best_model.fckpt \
+    --stage2 /tmp/rehearsal/ckpt_s2/best_model.fckpt \
+    --stage3 /tmp/rehearsal/ckpt_s3/best_model.fckpt \
+    --output "$WORK/stages_plot"
+mkdir -p "$WORK/best_all"
+cp /tmp/rehearsal/ckpt_s1/best_model.fckpt "$WORK/best_all/stage1_psnr.fckpt"
+cp /tmp/rehearsal/ckpt_s2/best_model.fckpt "$WORK/best_all/stage2_ssim.fckpt"
+cp /tmp/rehearsal/ckpt_s3/best_model.fckpt "$WORK/best_all/stage3_gan.fckpt"
+python scripts/compare_two_models.py --checkpoint-dir "$WORK/best_all" \
+    --test-dir "$WORK/processed/test/HR" --output "$WORK/comparison" \
+    --num-images 32 --batch-size 8 --save-every 8
+
+echo "Dress rehearsal complete: $WORK"
