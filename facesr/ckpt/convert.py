@@ -399,9 +399,24 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description="Convert PyTorch weights to facesr format")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--kind", default="custom",
+    p.add_argument("--kind", default=None,
                    choices=["custom", "vgg19", "lpips", "rrdbnet", "inception",
-                            "transfer"])
+                            "transfer", "auto"],
+                   help="default: custom (forward), auto (--reverse)")
     p.add_argument("--extra", default=None, help="lpips lin-heads .pth")
+    p.add_argument("--reverse", action="store_true",
+                   help="export a facesr .fckpt back to a reference-format "
+                        ".pth (kinds: auto/custom/transfer/rrdbnet; see "
+                        "facesr.ckpt.export_torch)")
+    p.add_argument("--no-ema", action="store_true",
+                   help="with --reverse: export raw weights instead of EMA")
     a = p.parse_args()
-    convert_pth(a.input, a.output, a.kind, a.extra)
+    if a.reverse:
+        from facesr.ckpt.export_torch import export_pth
+
+        export_pth(a.input, a.output, a.kind or "auto",
+                   prefer_ema=not a.no_ema)
+    else:
+        if a.kind == "auto":
+            p.error("--kind auto is only for --reverse")
+        convert_pth(a.input, a.output, a.kind or "custom", a.extra)
