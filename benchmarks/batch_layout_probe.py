@@ -70,7 +70,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="128,192,256")
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--calib-images", type=int, default=8)
+    p.add_argument("--calib-images", type=int, default=0,
+                   help="0 (default): synthetic static scales — compiled "
+                        "speed is independent of scale VALUES (BENCH.md), "
+                        "and real calibration costs ~8 host-CPU minutes "
+                        "on axon; pass N to calibrate for real")
     p.add_argument("--trace-dir", default=None,
                    help="write + parse perfetto traces of the int8_cal "
                         "128/256 programs under this dir")
@@ -89,7 +93,7 @@ def main() -> None:
     import numpy as np
 
     from facesr.models import face_enhance_net as fen
-    from facesr.ops.quant import quantize_conv_kernels
+    from facesr.ops.quant import attach_act_scales, quantize_conv_kernels
     from facesr.parallel.serving import calibrated_qparams
 
     if args.smoke:
@@ -108,13 +112,18 @@ def main() -> None:
     max_b = max(batches)
     x_all = jnp.asarray(rng.random((max_b, 64, 64, 3), dtype=np.float32))
 
-    calib = rng.random((args.calib_images, 64, 64, 3), dtype=np.float32)
-    calib_batch = min(128, max_b) if args.smoke else 128
-    t0 = time.perf_counter()
-    qp = calibrated_qparams(model.params, apply_fn, calib, calib_batch)
+    if args.calib_images:
+        calib = rng.random((args.calib_images, 64, 64, 3), dtype=np.float32)
+        calib_batch = min(128, max_b) if args.smoke else 128
+        t0 = time.perf_counter()
+        qp = calibrated_qparams(model.params, apply_fn, calib, calib_batch)
+        print(f"calibration ({args.calib_images} imgs): "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        qt, n_sites = quantize_conv_kernels(model.params, with_sids=True)
+        qp = attach_act_scales(qt, np.full(n_sites, 2.0))
+        print(f"synthetic static scales ({n_sites} sites)", flush=True)
     qp = jax.device_put(qp, jax.devices()[0])
-    print(f"calibration ({args.calib_images} imgs): "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
     dyn = jax.device_put(quantize_conv_kernels(model.params), jax.devices()[0])
 
     def scalar_fwd(params, x):
