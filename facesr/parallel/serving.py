@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import threading
 import time
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -361,14 +361,28 @@ class ShardedPredictor:
         quant_cache: optional path persisting the calibrated tree so
             serving restarts skip the calibration pass (see
             calibrated_qparams).
+        remainder_sizes: opt-in smaller compiled batch sizes for the final
+            chunk of a request (e.g. ``(32, 64, 96)`` with max_batch 128).
+            Default () keeps the one-program-for-lifetime guarantee. When
+            set, a request whose remainder fits a smaller size pads to that
+            size instead of max_batch — worth up to ~8% throughput on
+            remainder-bearing request sizes (BENCH.md "remainder-batch
+            economics") at the cost of one extra XLA compile the FIRST time
+            each (size, H, W) appears; unsuitable where first-request
+            latency spikes matter. Sizes are rounded up to device multiples
+            and capped below max_batch.
     """
 
     def __init__(self, model, mesh=None, dtype=jnp.bfloat16, max_batch: int = 128,
                  calibration: Optional[np.ndarray] = None,
-                 quant_cache: Optional[str] = None):
+                 quant_cache: Optional[str] = None,
+                 remainder_sizes: Sequence[int] = ()):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.max_batch = max(max_batch - max_batch % self.n_devices, self.n_devices)
+        self.remainder_sizes = tuple(sorted(
+            {s + (-s % self.n_devices) for s in remainder_sizes
+             if 0 < s + (-s % self.n_devices) < self.max_batch}))
         from facesr.parallel.mesh import replicated
 
         # dtype="int8_full": weights AND activations on the MXU's s8 pipe
@@ -403,8 +417,14 @@ class ShardedPredictor:
         outs = []
         in_flight: list = []  # [(device result, valid_count)]
         for i in range(0, len(images), self.max_batch):
+            valid = min(self.max_batch, len(images) - i)
+            target = self.max_batch
+            for s in self.remainder_sizes:  # sorted ascending; opt-in only
+                if valid <= s:
+                    target = s
+                    break
             chunk, valid = pad_to_multiple(images[i:i + self.max_batch],
-                                           self.max_batch)
+                                           target)
             x = jax.device_put(chunk, batch_sharding(self.mesh))
             in_flight.append((self._fwd(self.params, x), valid))
             if len(in_flight) > 2:

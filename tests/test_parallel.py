@@ -900,3 +900,26 @@ def test_quant_cache_rejects_retrained_weights(tmp_path):
     # different (same-architecture) weights: loud rejection
     with pytest.raises(ValueError, match="DIFFERENT"):
         load_calibrated_qparams(params_b, cache)
+
+
+def test_sharded_predictor_remainder_sizes_exact():
+    """Opt-in remainder programs (BENCH.md remainder-batch economics):
+    the final chunk pads to the smallest enabled size instead of
+    max_batch; results must be byte-identical to the default path."""
+    from facesr.parallel.serving import ShardedPredictor
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+
+    rng = np.random.default_rng(7)
+    x = rng.random((19, 16, 16, 3), dtype=np.float32)  # 16 + remainder 3 -> pad 8
+
+    default = ShardedPredictor(model, dtype=None, max_batch=16)
+    opt = ShardedPredictor(model, dtype=None, max_batch=16,
+                           remainder_sizes=(8, 200, 16, -4))
+    assert opt.remainder_sizes == (8,)  # rounded/filtered to valid sizes
+    np.testing.assert_array_equal(opt(x), default(x))
+
+    # remainder larger than every enabled size falls back to max_batch
+    x2 = rng.random((27, 16, 16, 3), dtype=np.float32)  # remainder 11 > 8
+    np.testing.assert_array_equal(opt(x2), default(x2))
