@@ -113,9 +113,22 @@ class SRService:
             # plumbing them elsewhere would just trigger the loud
             # ignored-arguments warning per model
             qc = quant_cache if dtype == "int8_full" else None
+            # Under micro-batching, cohorts arrive at every size up to mb;
+            # without remainder sizes the predictor pads each one to its
+            # full compiled batch, so a lone request pays an mb-sized
+            # forward (the same low-concurrency regression ADVICE r2
+            # flagged on the raw-model path, where it's solved by pow2
+            # padding). Give the predictors the matching pow2 ladder —
+            # bounded compiles (log2), lone requests pay ~device-count.
+            pmb = max(n, max_batch or 0, mb)
+            rs, s = [], n
+            while mb and s < pmb:
+                rs.append(s)
+                s *= 2
             self.predictors = {
                 name: ShardedPredictor(
-                    m, dtype=jdtype, max_batch=max(n, max_batch or 0, mb),
+                    m, dtype=jdtype, max_batch=pmb,
+                    remainder_sizes=tuple(rs),
                     calibration=calibration,
                     quant_cache=(
                         f"{qc}.{name.lower().replace(' ', '_')}.fckpt"

@@ -328,3 +328,62 @@ def test_api_exported_artifact_serving(tmp_path):
     finally:
         srv_art.shutdown()
         srv_ckpt.shutdown()
+
+
+def test_api_microbatched_predictor_path_matches_unbatched(tmp_path):
+    # The dtype (ShardedPredictor) micro-batch path: cohorts pad to the
+    # pow2 remainder ladder instead of the full compiled batch, and every
+    # client still gets the byte-identical PNG of the unbatched server.
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1, blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    save_model(str(ckpt_dir / "best_model.fckpt"), model.params, cfg, "custom")
+
+    from app.api import SRService, serve
+
+    # the service wires the pow2 ladder into its predictors
+    svc = SRService(str(ckpt_dir), dtype="int8",
+                    batch_window_ms=100.0, max_batch=16)
+    pred = next(iter(svc.predictors.values()))
+    assert pred.remainder_sizes, "micro-batched predictors need the ladder"
+    assert all(s < pred.max_batch for s in pred.remainder_sizes)
+    # without micro-batching the one-program guarantee stays intact
+    svc_plain = SRService(str(ckpt_dir), dtype="int8")
+    assert next(iter(svc_plain.predictors.values())).remainder_sizes == ()
+
+    srv_plain = serve(str(ckpt_dir), port=0, host="127.0.0.1", dtype="int8")
+    srv_mb = serve(str(ckpt_dir), port=0, host="127.0.0.1", dtype="int8",
+                   batch_window_ms=100.0, max_batch=16)
+
+    ports = (srv_plain.server_address[1], srv_mb.server_address[1])
+    for srv in (srv_plain, srv_mb):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(3)
+        pngs = []
+        for i in range(3):  # odd count -> a sub-max cohort somewhere
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            ok, png = cv2.imencode(".png", img)
+            pngs.append(png.tobytes())
+
+        serial = [_request(ports[0], "POST", "/super-resolve", body=p)[2]
+                  for p in pngs]
+
+        batched = [None] * 3
+
+        def hit(i):
+            batched[i] = _request(ports[1], "POST", "/super-resolve",
+                                  body=pngs[i])[2]
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        for i in range(3):
+            assert batched[i] == serial[i]  # byte-identical PNGs
+    finally:
+        srv_plain.shutdown()
+        srv_mb.shutdown()
