@@ -339,12 +339,22 @@ def main():
                              "(scripts/export_serving.py) served under "
                              "their filename stems — weights + precision "
                              "baked in, no checkpoints needed")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        help="directory for JAX's persistent compilation "
+                             "cache: server restarts (and repeat batch-"
+                             "size rungs) reuse compiled XLA programs "
+                             "instead of recompiling; complements "
+                             "--exported, which skips compiles entirely")
     args = parser.parse_args()
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from facesr.utils.compile_cache import enable_compile_cache
+
+        print(f"compilation cache: {enable_compile_cache(args.compile_cache)}")
 
     server = serve(args.checkpoint_dir, args.port, args.host, dtype=args.dtype,
                    calib_dir=args.calib_dir, quant_cache=args.quant_cache,

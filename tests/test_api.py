@@ -387,3 +387,31 @@ def test_api_microbatched_predictor_path_matches_unbatched(tmp_path):
     finally:
         srv_plain.shutdown()
         srv_mb.shutdown()
+
+
+def test_compile_cache_populates(tmp_path):
+    # --compile-cache: the persistent XLA cache fills with serving
+    # programs so restarts skip recompilation (AOT artifacts remain the
+    # zero-compile path; this covers checkpoint serving).
+    from facesr.utils.compile_cache import enable_compile_cache
+
+    import jax
+    import jax.numpy as jnp
+
+    prev = (jax.config.jax_compilation_cache_dir,
+            jax.config.jax_persistent_cache_min_compile_time_secs,
+            jax.config.jax_persistent_cache_min_entry_size_bytes)
+    try:
+        cache = enable_compile_cache(str(tmp_path / "jit_cache"))
+        assert jax.config.jax_compilation_cache_dir == cache
+        jax.jit(lambda x: (x * 2 + 1).sum())(
+            jnp.arange(1024.0)).block_until_ready()
+        import os
+
+        assert os.listdir(cache), "cache directory stayed empty"
+        # calling again with the same path is idempotent
+        assert enable_compile_cache(cache) == cache
+    finally:  # global config — restore so the rest of the suite is unaffected
+        jax.config.update("jax_compilation_cache_dir", prev[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev[2])
