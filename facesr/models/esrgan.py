@@ -7,10 +7,11 @@ a leading axis and driven by `lax.scan` (flat compile time); each RRDB's 3
 RDBs are unrolled (heterogeneous dense wiring inside).
 
 The reference downloads RealESRGAN_x4plus weights from GitHub
-(esrgan.py:113-117,165-191); this environment has no egress, so
-`ESRGANBaseline` loads converted weights from a local path
-(`facesr.ckpt.convert.convert_rrdbnet_state_dict` imports the official
-.pth) and otherwise warns and runs randomly initialized.
+(esrgan.py:113-117,165-191). `ESRGANBaseline` mirrors that self-provisioning
+via `resolve_pretrained_weights`: cached native checkpoint -> convert a
+local official `.pth` (`facesr.ckpt.convert.convert_rrdbnet_state_dict`)
+-> download the `.pth` then convert. Offline it warns and runs randomly
+initialized, the reference's own degradation mode.
 """
 
 from __future__ import annotations
@@ -167,18 +168,87 @@ def infer_rrdbnet_config(params: Params, scale: int = 4) -> RRDBNetConfig:
     )
 
 
+# Official artifact URLs (reference esrgan.py:113-117).
+WEIGHT_URLS = {
+    "RealESRGAN_x4plus": "https://github.com/xinntao/Real-ESRGAN/releases/"
+                         "download/v0.1.0/RealESRGAN_x4plus.pth",
+    "ESRGAN_x4": "https://github.com/xinntao/Real-ESRGAN/releases/download/"
+                 "v0.1.1/ESRGAN_SRx4_DF2KOST_official-ff704c30.pth",
+}
+
+
+def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
+                               weights_dir: str = "checkpoints/pretrained",
+                               download: bool = True,
+                               timeout: float = 30.0) -> Optional[str]:
+    """Reference-parity weight resolution (esrgan.py:165-191), TPU-shaped:
+    the raw torch ``.pth`` is converted ONCE to a native facesr checkpoint
+    cached next to it, and every later load is the fast native path.
+
+    Chain: ``<dir>/<name>.fckpt`` (cached conversion) -> convert
+    ``<dir>/<name>.pth`` (user-supplied or previously downloaded) ->
+    download the official ``.pth`` (when ``download`` and the name is in
+    ``WEIGHT_URLS``) then convert. Returns the converted checkpoint path,
+    or ``None`` after a warning — the caller then degrades to random init
+    exactly as the reference does when its download fails.
+    """
+    import shutil
+    import urllib.request
+    from pathlib import Path
+
+    d = Path(weights_dir)
+    fckpt = d / f"{model_name}.fckpt"
+    if fckpt.exists():
+        return str(fckpt)
+    pth = d / f"{model_name}.pth"
+    if not pth.exists() and download and model_name in WEIGHT_URLS:
+        d.mkdir(parents=True, exist_ok=True)
+        # download to a temp name + atomic rename: an interrupted transfer
+        # must never leave a truncated file the next run trusts
+        tmp = d / f"{model_name}.pth.part"
+        try:
+            print(f"Downloading {model_name} weights...")
+            with urllib.request.urlopen(WEIGHT_URLS[model_name],
+                                        timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                shutil.copyfileobj(r, f)
+            tmp.replace(pth)
+            print(f"Saved to {pth}")
+        except Exception as e:  # offline / blocked egress / partial transfer
+            tmp.unlink(missing_ok=True)
+            print(f"Warning: could not download {model_name} weights "
+                  f"({type(e).__name__}: {e}); place the official .pth at "
+                  f"{pth} to enable the pretrained baseline.")
+    if pth.exists():
+        from facesr.ckpt.convert import convert_pth
+
+        convert_pth(str(pth), str(fckpt), kind="rrdbnet")
+        return str(fckpt)
+    return None
+
+
 class ESRGANBaseline:
     """Frozen pretrained baseline wrapper (reference esrgan.py:106-260).
 
-    Without converted RealESRGAN weights (no network egress here) it warns
+    With no explicit ``weights_path``, resolves ``model_name`` through
+    `resolve_pretrained_weights` (cached conversion -> local ``.pth`` ->
+    official download), matching the reference's self-provisioning
+    constructor. When nothing resolves (e.g. no network egress) it warns
     and runs random-init — outputs are then not meaningful as a baseline,
     matching how the reference degrades when its download fails.
     """
 
-    def __init__(self, weights_path: Optional[str] = None, scale: int = 4):
+    def __init__(self, weights_path: Optional[str] = None, scale: int = 4,
+                 model_name: str = "RealESRGAN_x4plus",
+                 weights_dir: str = "checkpoints/pretrained",
+                 download: bool = True):
         self.config = RRDBNetConfig(scale=scale)
         self.pretrained = False
+        self.model_name = model_name
         params = None
+        if weights_path is None:
+            weights_path = resolve_pretrained_weights(
+                model_name, weights_dir, download=download)
         if weights_path:
             from facesr.ckpt import load_checkpoint, restack_scanned
 

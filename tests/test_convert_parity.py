@@ -319,13 +319,8 @@ def _torch_rrdbnet_forward(sd, x, n_blocks):
         return conv(lrelu(conv(feat, "conv_hr")), "conv_last")
 
 
-def test_rrdbnet_params_ema_cli_roundtrip_and_parity(tmp_path):
-    """torch.save params_ema container -> convert_pth CLI -> ESRGANBaseline
-    (config inferred from shapes) -> elementwise parity vs a torch oracle."""
-    from facesr.ckpt.convert import convert_pth
-
-    rng = np.random.default_rng(11)
-    nf, gc, n_blocks = 8, 4, 2
+def _tiny_rrdbnet_sd(seed=11, nf=8, gc=4, n_blocks=2):
+    rng = np.random.default_rng(seed)
     t = lambda *s: torch.from_numpy((rng.standard_normal(s) * 0.05).astype(np.float32))
     sd = {}
     for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr"):
@@ -341,6 +336,16 @@ def test_rrdbnet_params_ema_cli_roundtrip_and_parity(tmp_path):
             for c in range(5):
                 sd[f"body.{i}.rdb{j}.conv{c + 1}.weight"] = t(outs[c], chans[c], 3, 3)
                 sd[f"body.{i}.rdb{j}.conv{c + 1}.bias"] = t(outs[c])
+    return sd
+
+
+def test_rrdbnet_params_ema_cli_roundtrip_and_parity(tmp_path):
+    """torch.save params_ema container -> convert_pth CLI -> ESRGANBaseline
+    (config inferred from shapes) -> elementwise parity vs a torch oracle."""
+    from facesr.ckpt.convert import convert_pth
+
+    nf, gc, n_blocks = 8, 4, 2
+    sd = _tiny_rrdbnet_sd(11, nf, gc, n_blocks)
 
     pth = str(tmp_path / "realesrgan.pth")
     torch.save({"params_ema": sd}, pth)
@@ -358,6 +363,33 @@ def test_rrdbnet_params_ema_cli_roundtrip_and_parity(tmp_path):
                                   n_blocks).numpy()
     got = np.asarray(baseline(jnp.asarray(x))).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, np.clip(want, 0, 1), atol=2e-5, rtol=1e-4)
+
+
+def test_esrgan_baseline_weight_resolution_chain(tmp_path):
+    """Reference-parity self-provisioning (esrgan.py:165-191): a local
+    official .pth in weights_dir is converted once to a cached native
+    checkpoint; later constructions reuse the cache untouched."""
+    d = tmp_path / "pretrained"
+    d.mkdir()
+    torch.save({"params_ema": _tiny_rrdbnet_sd(21)}, d / "RealESRGAN_x4plus.pth")
+
+    b = esr.ESRGANBaseline(weights_dir=str(d), download=False)
+    fckpt = d / "RealESRGAN_x4plus.fckpt"
+    assert b.pretrained and fckpt.exists()
+    assert b.config.num_feat == 8 and b.config.num_blocks == 2
+
+    mtime = fckpt.stat().st_mtime_ns
+    b2 = esr.ESRGANBaseline(weights_dir=str(d), download=False)
+    assert b2.pretrained
+    assert fckpt.stat().st_mtime_ns == mtime  # cached, not reconverted
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(b.params)[0]),
+        np.asarray(jax.tree.leaves(b2.params)[0]))
+
+    path = esr.resolve_pretrained_weights("RealESRGAN_x4plus",
+                                          str(tmp_path / "empty"),
+                                          download=False)
+    assert path is None  # nothing local, no download -> random-init fallback
 
 
 def test_custom_cli_roundtrip_from_trainer_container(tmp_path):

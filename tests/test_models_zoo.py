@@ -28,7 +28,7 @@ def test_rrdbnet_param_count_production():
 
 
 def test_esrgan_baseline_inference_uint8():
-    baseline = esr.ESRGANBaseline()
+    baseline = esr.ESRGANBaseline(download=False)
     img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
     out = baseline.inference(img)
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
