@@ -12,6 +12,7 @@ from facesr.models.esrgan import (
     RRDBNetConfig,
     ESRGANBaseline,
     create_esrgan_baseline,
+    resolve_pretrained_weights,
 )
 from facesr.models.transfer import (
     TransferSRModel,
@@ -33,6 +34,7 @@ __all__ = [
     "RRDBNetConfig",
     "ESRGANBaseline",
     "create_esrgan_baseline",
+    "resolve_pretrained_weights",
     "TransferSRModel",
     "TransferModelConfig",
     "TrainingStage",
