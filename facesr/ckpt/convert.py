@@ -34,12 +34,25 @@ __all__ = [
 ]
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, weights_only: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """torch.load a checkpoint and return a flat {name: numpy} state dict,
-    unwrapping the common container keys."""
+    unwrapping the common container keys.
+
+    weights_only: True restricts unpickling to tensors (use for artifacts
+    that are plain state dicts, e.g. downloaded RRDBNet releases — arbitrary
+    pickles in a tampered asset would otherwise execute code); False allows
+    full unpickling (lpips packages custom classes); None (default) tries
+    the safe mode first and falls back.
+    """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if weights_only is None:
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=weights_only)
     for key in ("model_state_dict", "state_dict", "params_ema", "params"):
         if isinstance(ckpt, dict) and key in ckpt:
             ckpt = ckpt[key]
@@ -354,7 +367,10 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
     """
     from facesr.ckpt.checkpoint import save_checkpoint
 
-    sd = load_torch_state_dict(pth_path)
+    # rrdbnet artifacts come from the download path and are plain tensor
+    # state dicts: refuse arbitrary pickle payloads in them
+    sd = load_torch_state_dict(
+        pth_path, weights_only=True if kind == "rrdbnet" else None)
     if kind == "custom":
         params = convert_face_enhance_net_state_dict(sd)
         from facesr.ckpt.checkpoint import infer_model_config_from_params

@@ -190,8 +190,20 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
     download the official ``.pth`` (when ``download`` and the name is in
     ``WEIGHT_URLS``) then convert. Returns the converted checkpoint path,
     or ``None`` after a warning — the caller then degrades to random init
-    exactly as the reference does when its download fails.
+    (the reference random-inits for names missing from its URL table;
+    failed downloads/conversions also degrade here instead of raising,
+    a deliberate hardening beyond the reference's crash).
+
+    Safety: downloads land in a per-process temp name and are atomically
+    renamed only on success; when the official URL embeds a torch-hub
+    content hash (``-<8 hex>.pth``) the sha256 prefix is verified before
+    the rename; a ``.pth`` that fails conversion (captive-portal HTML,
+    wrong architecture) is quarantined to ``<name>.pth.bad`` so later
+    constructions keep degrading cleanly instead of crashing.
     """
+    import hashlib
+    import os
+    import re as _re
     import shutil
     import urllib.request
     from pathlib import Path
@@ -202,16 +214,34 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
         return str(fckpt)
     pth = d / f"{model_name}.pth"
     if not pth.exists() and download and model_name in WEIGHT_URLS:
+        url = WEIGHT_URLS[model_name]
         d.mkdir(parents=True, exist_ok=True)
-        # download to a temp name + atomic rename: an interrupted transfer
-        # must never leave a truncated file the next run trusts
-        tmp = d / f"{model_name}.pth.part"
+        # download to a per-process temp name + atomic rename: an interrupted
+        # transfer must never leave a truncated file the next run trusts, and
+        # concurrent constructors (serving replicas sharing checkpoints/)
+        # must not interleave writes into one temp file
+        tmp = d / f"{model_name}.pth.part.{os.getpid()}"
         try:
             print(f"Downloading {model_name} weights...")
-            with urllib.request.urlopen(WEIGHT_URLS[model_name],
-                                        timeout=timeout) as r, \
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
                     open(tmp, "wb") as f:
                 shutil.copyfileobj(r, f)
+                expect = r.headers.get("Content-Length")
+            # http.client deliberately does NOT raise on a body shorter
+            # than Content-Length (reads EOF silently) — check ourselves,
+            # or a truncated transfer gets renamed into place
+            if expect is not None and tmp.stat().st_size != int(expect):
+                raise OSError(
+                    f"truncated transfer: got {tmp.stat().st_size} of "
+                    f"{expect} bytes")
+            # torch-hub URLs embed the first 8 sha256 hex chars in the
+            # filename; verify when present (tamper/corruption gate)
+            m = _re.search(r"-([0-9a-f]{8})\.pth$", url)
+            if m:
+                h = hashlib.sha256(tmp.read_bytes()).hexdigest()
+                if not h.startswith(m.group(1)):
+                    raise ValueError(
+                        f"sha256 mismatch: got {h[:8]}, URL pins {m.group(1)}")
             tmp.replace(pth)
             print(f"Saved to {pth}")
         except Exception as e:  # offline / blocked egress / partial transfer
@@ -222,7 +252,21 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
     if pth.exists():
         from facesr.ckpt.convert import convert_pth
 
-        convert_pth(str(pth), str(fckpt), kind="rrdbnet")
+        try:
+            convert_pth(str(pth), str(fckpt), kind="rrdbnet")
+        except Exception as e:
+            # a bad .pth (HTTP-200 error page, wrong architecture) must not
+            # permanently break construction: quarantine it and degrade
+            bad = d / f"{model_name}.pth.bad"
+            try:
+                pth.replace(bad)
+                where = f"quarantined to {bad}"
+            except OSError:
+                where = f"left at {pth}"
+            print(f"Warning: {pth} is not a loadable {model_name} state dict "
+                  f"({type(e).__name__}: {e}); {where}. Running randomly "
+                  f"initialized.")
+            return None
         return str(fckpt)
     return None
 
@@ -234,8 +278,10 @@ class ESRGANBaseline:
     `resolve_pretrained_weights` (cached conversion -> local ``.pth`` ->
     official download), matching the reference's self-provisioning
     constructor. When nothing resolves (e.g. no network egress) it warns
-    and runs random-init — outputs are then not meaningful as a baseline,
-    matching how the reference degrades when its download fails.
+    and runs random-init — outputs are then not meaningful as a baseline.
+    This matches the reference's degradation for model names missing from
+    its URL table (esrgan.py:165-191); for *failed* downloads the reference
+    crashes in its constructor, and we deliberately degrade instead.
     """
 
     def __init__(self, weights_path: Optional[str] = None, scale: int = 4,

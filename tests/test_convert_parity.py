@@ -613,3 +613,158 @@ def test_transfer_conversion_small_body_main_none():
     got = np.asarray(tr.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x),
                               cfg)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# -- download branch (loopback HTTP; reference esrgan.py:165-191) ------------
+
+class _WeightServer:
+    """Tiny loopback HTTP server with switchable failure modes, so the
+    download branch of resolve_pretrained_weights (urlopen -> per-pid .part
+    -> sha256 gate -> atomic rename -> convert) is exercised without egress."""
+
+    def __init__(self, payload: bytes):
+        import http.server
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if server.mode == "ok":
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(server.payload)))
+                    self.end_headers()
+                    self.wfile.write(server.payload)
+                elif server.mode == "truncate":
+                    # advertise the full length, deliver half: the client's
+                    # read-to-EOF must raise IncompleteRead
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(server.payload)))
+                    self.end_headers()
+                    self.wfile.write(server.payload[: len(server.payload) // 2])
+                    self.wfile.flush()
+                    self.connection.close()
+                elif server.mode == "html":
+                    body = b"<html>captive portal says hi</html>"
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        self.payload = payload
+        self.mode = "ok"
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def url(self, filename: str) -> str:
+        return f"http://127.0.0.1:{self.port}/{filename}"
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture
+def weight_server(tmp_path):
+    import io
+
+    buf = io.BytesIO()
+    torch.save({"params_ema": _tiny_rrdbnet_sd(31)}, buf)
+    server = _WeightServer(buf.getvalue())
+    yield server
+    server.close()
+
+
+def test_download_branch_success(tmp_path, weight_server, monkeypatch):
+    """Happy path: download -> atomic rename -> convert -> pretrained=True,
+    with no .part litter and a reusable cached .fckpt."""
+    monkeypatch.setattr(
+        esr, "WEIGHT_URLS",
+        {"RealESRGAN_x4plus": weight_server.url("RealESRGAN_x4plus.pth")})
+    d = tmp_path / "pretrained"
+
+    b = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert b.pretrained
+    assert b.config.num_feat == 8 and b.config.num_blocks == 2
+    assert (d / "RealESRGAN_x4plus.pth").exists()
+    assert (d / "RealESRGAN_x4plus.fckpt").exists()
+    assert not list(d.glob("*.part*"))
+
+    # second construction must hit the cache, not the network
+    weight_server.mode = "truncate"
+    b2 = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert b2.pretrained
+
+
+def test_download_branch_truncated_then_recovers(tmp_path, weight_server,
+                                                 monkeypatch, capsys):
+    """A truncated transfer cleans up its .part, warns, degrades to random
+    init — and a later successful download recovers."""
+    monkeypatch.setattr(
+        esr, "WEIGHT_URLS",
+        {"RealESRGAN_x4plus": weight_server.url("RealESRGAN_x4plus.pth")})
+    d = tmp_path / "pretrained"
+    weight_server.mode = "truncate"
+
+    b = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert not b.pretrained
+    assert not (d / "RealESRGAN_x4plus.pth").exists()
+    assert not list(d.glob("*.part*"))
+    assert "could not download" in capsys.readouterr().out
+
+    weight_server.mode = "ok"
+    b2 = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert b2.pretrained
+
+
+def test_download_branch_bad_content_quarantined(tmp_path, weight_server,
+                                                 monkeypatch, capsys):
+    """An HTTP-200 error page renamed into place must NOT permanently break
+    construction (ADVICE r4 medium): conversion failure quarantines the .pth
+    and every later construction still degrades cleanly, then recovers."""
+    monkeypatch.setattr(
+        esr, "WEIGHT_URLS",
+        {"RealESRGAN_x4plus": weight_server.url("RealESRGAN_x4plus.pth")})
+    d = tmp_path / "pretrained"
+    weight_server.mode = "html"
+
+    b = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert not b.pretrained
+    assert (d / "RealESRGAN_x4plus.pth.bad").exists()
+    assert not (d / "RealESRGAN_x4plus.pth").exists()
+    assert "not a loadable" in capsys.readouterr().out
+
+    # repeat construction: no crash, still degrades (re-downloads the bad
+    # page, re-quarantines)
+    b2 = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert not b2.pretrained
+
+    weight_server.mode = "ok"
+    b3 = esr.ESRGANBaseline(weights_dir=str(d), download=True)
+    assert b3.pretrained
+
+
+def test_download_branch_sha256_gate(tmp_path, weight_server, monkeypatch):
+    """URLs embedding a torch-hub content hash are verified: a mismatch is
+    rejected (no .pth lands), a match passes."""
+    import hashlib
+
+    d = tmp_path / "pretrained"
+    monkeypatch.setattr(
+        esr, "WEIGHT_URLS",
+        {"ESRGAN_x4": weight_server.url("official-00000000.pth")})
+    assert esr.resolve_pretrained_weights("ESRGAN_x4", str(d)) is None
+    assert not (d / "ESRGAN_x4.pth").exists()
+    assert not list(d.glob("*.part*"))
+
+    good = hashlib.sha256(weight_server.payload).hexdigest()[:8]
+    monkeypatch.setattr(
+        esr, "WEIGHT_URLS",
+        {"ESRGAN_x4": weight_server.url(f"official-{good}.pth")})
+    path = esr.resolve_pretrained_weights("ESRGAN_x4", str(d))
+    assert path is not None and path.endswith("ESRGAN_x4.fckpt")
