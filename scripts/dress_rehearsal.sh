@@ -11,10 +11,26 @@
 # On axon: PYTHONPATH=/root/.axon_site:/root/repo bash scripts/dress_rehearsal.sh
 set -euo pipefail
 
-WORK="${1:-/tmp/rehearsal}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
-mkdir -p "$WORK"
+mkdir -p "${1:-/tmp/rehearsal}"
+WORK="$(cd "${1:-/tmp/rehearsal}" && pwd)"   # absolute: configs embed it
+
+# The checked-in rehearsal configs chain stages via YAML `resume:` paths
+# (weights-only stage chaining — CLI --resume has full-resume semantics and
+# is NOT a substitute). Rewrite every /tmp/rehearsal path to $WORK in a
+# generated copy so a custom workdir chains from ITS OWN checkpoints.
+CFG="$WORK/configs"
+mkdir -p "$CFG"
+for f in stage1_psnr stage2_ssim stage3_gan; do
+    sed "s|/tmp/rehearsal|$WORK|g" "configs/rehearsal/$f.yaml" > "$CFG/$f.yaml"
+done
+# test hook: stop after generating configs (path plumbing is gated by
+# tests/test_scripts_e2e.py without running the multi-hour curriculum)
+if [ "${REHEARSAL_SETUP_ONLY:-0}" = 1 ]; then
+    echo "setup-only: configs generated in $CFG"
+    exit 0
+fi
 
 echo "== [1/6] synthetic faces =="
 python scripts/make_synthetic_faces.py --output "$WORK/raw" --num 608 --size 160 --seed 0
@@ -23,36 +39,25 @@ echo "== [2/6] prepare (hr 128 / lr 32, bicubic, hdf5) =="
 python -m facesr.data.prepare_data --input "$WORK/raw" --output "$WORK/processed" \
     --hr-size 128 --lr-size 32 --hdf5 --train-ratio 0.84 --val-ratio 0.08
 
-# The rehearsal configs point at /tmp/rehearsal; override data/ckpt paths
-# only if a different workdir was given.
-if [ "$WORK" != "/tmp/rehearsal" ]; then
-    ROOT_ARGS=(--data-root "$WORK/processed")
-else
-    ROOT_ARGS=()
-fi
-
 echo "== [3/6] stage 1: PSNR (60 epochs) =="
-python scripts/train.py --config configs/rehearsal/stage1_psnr.yaml \
-    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+python scripts/train.py --config "$CFG/stage1_psnr.yaml" --no-wandb --yes
 
 echo "== [4/6] stage 2: +SSIM (25 epochs, chained from stage-1 best) =="
-python scripts/train.py --config configs/rehearsal/stage2_ssim.yaml \
-    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+python scripts/train.py --config "$CFG/stage2_ssim.yaml" --no-wandb --yes
 
 echo "== [5/6] stage 3: GAN (12 epochs, chained from stage-2 best) =="
-python scripts/train.py --config configs/rehearsal/stage3_gan.yaml \
-    "${ROOT_ARGS[@]+"${ROOT_ARGS[@]}"}" --no-wandb --yes
+python scripts/train.py --config "$CFG/stage3_gan.yaml" --no-wandb --yes
 
 echo "== [6/6] stage overview + comparison =="
 python scripts/plot_training_stages.py \
-    --stage1 /tmp/rehearsal/ckpt_s1/best_model.fckpt \
-    --stage2 /tmp/rehearsal/ckpt_s2/best_model.fckpt \
-    --stage3 /tmp/rehearsal/ckpt_s3/best_model.fckpt \
+    --stage1 "$WORK/ckpt_s1/best_model.fckpt" \
+    --stage2 "$WORK/ckpt_s2/best_model.fckpt" \
+    --stage3 "$WORK/ckpt_s3/best_model.fckpt" \
     --output "$WORK/stages_plot"
 mkdir -p "$WORK/best_all"
-cp /tmp/rehearsal/ckpt_s1/best_model.fckpt "$WORK/best_all/stage1_psnr.fckpt"
-cp /tmp/rehearsal/ckpt_s2/best_model.fckpt "$WORK/best_all/stage2_ssim.fckpt"
-cp /tmp/rehearsal/ckpt_s3/best_model.fckpt "$WORK/best_all/stage3_gan.fckpt"
+cp "$WORK/ckpt_s1/best_model.fckpt" "$WORK/best_all/stage1_psnr.fckpt"
+cp "$WORK/ckpt_s2/best_model.fckpt" "$WORK/best_all/stage2_ssim.fckpt"
+cp "$WORK/ckpt_s3/best_model.fckpt" "$WORK/best_all/stage3_gan.fckpt"
 python scripts/compare_two_models.py --checkpoint-dir "$WORK/best_all" \
     --test-dir "$WORK/processed/test/HR" --output "$WORK/comparison" \
     --num-images 32 --batch-size 8 --save-every 8
