@@ -132,6 +132,18 @@ def main():
 
     lpips_fn = LPIPS(verbose=True)
 
+    # FID column: set-level metric vs the HR distribution, availability-
+    # gated exactly like LPIPS (reference metrics.py:227-270 degrades the
+    # same way without pytorch-fid). Activations accumulate per chunk
+    # ([N, 2048] — host memory stays bounded at reference eval scale).
+    from facesr.models.inception import load_inception_weights
+
+    inception_weights = load_inception_weights()
+    if inception_weights is None:
+        print("Warning: InceptionV3 weights not found. FID column "
+              "unavailable (set $FACESR_INCEPTION_WEIGHTS to converted "
+              "weights, facesr.ckpt.convert kind='inception').")
+
     files = sorted(Path(args.test_dir).glob("*.png"))[: args.num_images]
     if not files:
         print(f"No test images in {args.test_dir}")
@@ -140,6 +152,8 @@ def main():
 
     methods = list(OPENCV_BASELINES) + list(models)
     all_metrics = {m: {"psnr": [], "ssim": [], "lpips": []} for m in methods}
+    fid_acts = {m: [] for m in methods} if inception_weights is not None else None
+    hr_acts = []
     out_dir = Path(args.output)
     (out_dir / "samples").mkdir(parents=True, exist_ok=True)
 
@@ -201,6 +215,7 @@ def main():
             model_srs = {name: sr_batched(m, lrs, predictor=predictors[name])
                          for name, m in models.items()}
 
+        chunk_outputs = {name: [] for name in methods}
         for j, (f, hr, lr_f) in enumerate(zip(chunk_files, hrs, lrs)):
             i = chunk_start + j
             lr_uint8 = (np.clip(lr_f, 0, 1) * 255).round().astype(np.uint8)
@@ -213,6 +228,7 @@ def main():
                 outputs[name] = model_srs[name][j]
 
             for name, out in outputs.items():
+                chunk_outputs[name].append(out)
                 m = compute_metrics(out, hr, lpips_fn)
                 for k, v in m.items():
                     all_metrics[name][k].append(v)
@@ -226,10 +242,34 @@ def main():
             if (i + 1) % 25 == 0:
                 print(f"  {i + 1}/{len(files)}")
 
+        if fid_acts is not None:
+            from facesr.evaluation.fid import inception_activations
+
+            # the activation batch pads ragged tails to its compiled size;
+            # don't pad a tiny eval set up to 32
+            fid_batch = min(32, len(files))
+            hr_acts.append(inception_activations(hrs, inception_weights,
+                                                 batch_size=fid_batch))
+            for name in methods:
+                fid_acts[name].append(
+                    inception_activations(chunk_outputs[name],
+                                          inception_weights,
+                                          batch_size=fid_batch))
+
+    fid_values = None
+    if fid_acts is not None:
+        from facesr.evaluation.fid import fid_from_activations
+
+        real = np.concatenate(hr_acts, axis=0)
+        fid_values = {name: fid_from_activations(
+            np.concatenate(fid_acts[name], axis=0), real) for name in methods}
+
     # Summary
     has_lpips = lpips_fn.available
     lines = []
-    header = f"{'Method':<16} {'PSNR (dB)':<12} {'SSIM':<10}" + (" LPIPS" if has_lpips else "")
+    header = (f"{'Method':<16} {'PSNR (dB)':<12} {'SSIM':<10}"
+              + (" LPIPS " if has_lpips else "")
+              + (" FID" if fid_values is not None else ""))
     lines.append(header)
     lines.append("-" * len(header))
     summary = {}
@@ -242,6 +282,9 @@ def main():
             l = float(np.mean(all_metrics[name]["lpips"]))
             row += f" {l:.4f}"
             summary[name]["lpips"] = l
+        if fid_values is not None:
+            row += f" {fid_values[name]:.2f}"
+            summary[name]["fid"] = fid_values[name]
         lines.append(row)
 
     best_baseline = max(OPENCV_BASELINES, key=lambda n: summary[n]["psnr"])
@@ -254,6 +297,9 @@ def main():
         if has_lpips:
             dl = summary[name]["lpips"] - summary[best_baseline]["lpips"]
             delta += f", {dl:+.4f} LPIPS"
+        if fid_values is not None:
+            df = fid_values[name] - fid_values[best_baseline]
+            delta += f", {df:+.2f} FID"
         lines.append(delta)
 
     report = "\n".join(lines)

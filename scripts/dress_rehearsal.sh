@@ -61,5 +61,13 @@ cp "$WORK/ckpt_s3/best_model.fckpt" "$WORK/best_all/stage3_gan.fckpt"
 python scripts/compare_two_models.py --checkpoint-dir "$WORK/best_all" \
     --test-dir "$WORK/processed/test/HR" --output "$WORK/comparison" \
     --num-images 32 --batch-size 8 --save-every 8
+# qualitative GAN-stage evidence: eye/mouth crops, stage2 vs stage3
+# (LPIPS/FID columns in the comparison above activate automatically when
+# $FACESR_LPIPS_WEIGHTS / $FACESR_INCEPTION_WEIGHTS point at converted
+# real weights)
+python scripts/stage_panel.py \
+    --checkpoints "$WORK/ckpt_s2/best_model.fckpt" "$WORK/ckpt_s3/best_model.fckpt" \
+    --labels stage2_ssim stage3_gan \
+    --test-dir "$WORK/processed/test/HR" --output "$WORK/panel" --num-images 4
 
 echo "Dress rehearsal complete: $WORK"

@@ -60,6 +60,12 @@ def plot_stage(history: dict, stage_name: str, save_path: Path) -> None:
         ax.plot(history["d_loss"], label="D loss")
         if history.get("g_loss"):
             ax.plot(history["g_loss"], label="G adv loss")
+        # discriminator outputs on real/fake: healthy GAN training keeps
+        # these separated but not saturated (D neither collapsed nor won)
+        if history.get("d_real"):
+            ax.plot(history["d_real"], label="D(real)", linestyle="--", alpha=0.7)
+        if history.get("d_fake"):
+            ax.plot(history["d_fake"], label="D(fake)", linestyle="--", alpha=0.7)
         ax.set_title("GAN losses")
         ax.legend()
     else:

@@ -488,3 +488,58 @@ def test_dress_rehearsal_workdir_plumbing(tmp_path):
             assert resume is None
         else:
             assert resume == str(work / prev / "best_model.fckpt")
+
+
+def test_compare_cli_fid_column_with_weights(workdir, tmp_path):
+    """The FID column activates automatically once converted InceptionV3
+    weights exist (VERDICT r4 next #5): SR-vs-HR FID per method in the
+    summary, sane ordering (identity GT comparison not included, but model
+    rows must be finite and non-negative)."""
+    import os
+
+    from test_fid_inception import _synthetic_state_dict  # tests/ on sys.path
+    from facesr.ckpt.convert import convert_inception_state_dict
+    from facesr.ckpt import save_checkpoint
+
+    weights = str(tmp_path / "inception_fid.fckpt")
+    save_checkpoint(weights,
+                    convert_inception_state_dict(_synthetic_state_dict(seed=7)),
+                    {"model_type": "inception_fid"})
+
+    env = dict(os.environ, FACESR_INCEPTION_WEIGHTS=weights)
+    proc = subprocess.run(
+        [sys.executable, "-u", "scripts/compare_two_models.py",
+         "--checkpoint-dir", str(workdir / "ckpt"),
+         "--test-dir", str(workdir / "processed" / "test" / "HR"),
+         "--output", str(tmp_path / "cmp_fid"),
+         "--num-images", "2", "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    summary = (tmp_path / "cmp_fid" / "results_summary.txt").read_text()
+    lines = summary.splitlines()
+    assert "FID" in lines[0]
+    table = lines[2:lines.index("")]  # rows between separator and blank
+    assert len(table) >= 3  # bicubic, lanczos, model
+    for line in table:
+        fid = float(line.split()[-1])
+        assert np.isfinite(fid) and fid >= 0
+    assert "FID" in [l for l in lines if " vs " in l][0]
+
+
+def test_stage_panel_cli(workdir, tmp_path):
+    """Crop-panel script: two checkpoints (stage2-vs-stage3 shape), eye and
+    mouth regions, tiled panel written."""
+    ckpt = str(workdir / "ckpt" / "best_model.fckpt")
+    out = run(["scripts/stage_panel.py",
+               "--checkpoints", ckpt, ckpt,
+               "--labels", "stage2", "stage3",
+               "--test-dir", str(workdir / "processed" / "test" / "HR"),
+               "--output", str(tmp_path / "panel"),
+               "--num-images", "2", "--platform", "cpu"])
+    assert "Panel saved" in out
+    panel = cv2.imread(str(tmp_path / "panel" / "stage_panel.png"))
+    assert panel is not None and panel.shape[0] > 40
+    # one per-row file per image x region
+    assert len(list((tmp_path / "panel").glob("panel_*_eyes.png"))) == 2
+    assert len(list((tmp_path / "panel").glob("panel_*_mouth.png"))) == 2
