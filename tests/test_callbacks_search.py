@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -99,6 +100,7 @@ def test_grid_search_run_and_resume(tmp_path):
     assert gs2.best() is not None
 
 
+@pytest.mark.slow
 def test_grid_search_mesh_parallel(tmp_path):
     """devices='auto' pins concurrent experiments to distinct devices and
     reproduces the sequential results (same seeds -> same math per

@@ -25,6 +25,7 @@ def test_entry_jits_and_runs():
     assert bool(jax.numpy.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_with_provisioned_mesh(capsys):
     graft.dryrun_multichip(8)
     assert "dryrun_multichip OK on 8 devices" in capsys.readouterr().out
@@ -96,6 +97,7 @@ bench.main()
     assert rec["value"] is None
 
 
+@pytest.mark.slow
 def test_dryrun_falls_back_to_cpu_when_default_backend_hangs(tmp_path):
     """End-to-end outage drill in a clean process: no backend initialized,
     the default-backend probe hangs (stubbed via sys.executable), and

@@ -3,6 +3,7 @@ the 8-device sharded train step must compute the same result as an
 unsharded one on the same global batch (the DP correctness invariant the
 reference never needed, SURVEY.md §5)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -301,6 +302,7 @@ def test_packed_quantize_commutes_with_pixel_shuffle():
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+@pytest.mark.slow
 def test_int8_calibrated_serving_other_model_families():
     """The quant machinery is generic by leaf layout: RRDBNet (nearest-up,
     LeakyReLU — no PixelShuffle) and TransferSRModel (RRDB backbone + RCAB

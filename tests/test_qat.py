@@ -119,6 +119,7 @@ def test_qat_model_forward_tracks_int8_serving():
     assert agree > drift + 5.0, (agree, drift)  # QAT sees serving, not f32
 
 
+@pytest.mark.slow
 def test_qat_train_step_converges_and_matches_export():
     """A QAT content step must optimize the latent params (loss drops on a
     fixed batch) and the final exported int8 model must match the training-
@@ -205,6 +206,7 @@ def test_trainer_qat_flag(tmp_path):
     assert np.isfinite(history["val_psnr"][0])
 
 
+@pytest.mark.slow
 def test_static_scale_qat_tracks_calibrated_serving():
     """fake_quant_params(act_scales=calibrated_tree): the QAT forward must
     sit on the CALIBRATED int8 grid — agreeing with calibrated serving far
@@ -378,6 +380,7 @@ def test_set_qat_scales_after_restore_contract(tmp_path):
         trainer.set_qat_scales(qtree)
 
 
+@pytest.mark.slow
 def test_qat_sharded_step_matches_single_device():
     """QAT under data parallelism: the fake-quant grids are shard-safe
     (weight scales replicated, activation scales per-IMAGE so reductions
@@ -423,6 +426,7 @@ def test_qat_sharded_step_matches_single_device():
         np.asarray(jax.device_get(state8.params)["conv_last"]["w"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_qat_ema_gan_combo(tmp_path):
     """Interaction lock: QAT + EMA + GAN in one Trainer — the adversarial
     step trains through the fake-quant forward while maintaining the EMA,

@@ -325,6 +325,7 @@ def test_async_checkpointing(tmp_path):
         trainer.flush_checkpoints()
 
 
+@pytest.mark.slow
 def test_remat_modes_equivalent_gradients():
     # remat selects a schedule, not math: loss and grads must match across
     # rcab / save_ca / save_convs / none on the same params and batch.
@@ -622,6 +623,7 @@ def test_trainer_mesh_axes_validation(tmp_path):
         make(mesh_axes="data,pp", mesh_shape=(4, 2), qat=True)
 
 
+@pytest.mark.slow
 def test_memory_report_sharded_state_savings(tmp_path):
     """memory_report surfaces XLA's per-device buffer assignment without
     executing: on tp/pp meshes the argument bytes (params + Adam moments
@@ -797,6 +799,7 @@ def test_trainer_skip_nonfinite_wiring(tmp_path):
     assert np.isfinite(history["d_loss"][0])
 
 
+@pytest.mark.slow
 def test_trainer_mesh_axes_gan_compositions(tmp_path):
     """The GAN step under composed meshes: dp x sp exercises the
     discriminator's functional BN with image ROWS sharded (XLA SPMD must
@@ -847,6 +850,7 @@ def test_trainer_mesh_axes_gan_compositions(tmp_path):
         assert abs(real - base_real) < 1e-5, (axes, real, base_real)
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_gan_stats_guard():
     """The optimizer guard alone can't save GAN training: BN running
     stats sit outside apply_if_finite, so a NaN batch would poison every
