@@ -589,3 +589,25 @@ def test_trained_checkpoint_pth_roundtrip_metrics(workdir, tmp_path):
          "--input", str(pth), "--output", str(back)])
     after = metrics(back)
     assert before == after, f"metric drift:\n{before}\nvs\n{after}"
+
+
+def test_plot_training_stages_cli(workdir, tmp_path):
+    """Per-stage curve plots + combined overview from checkpoint
+    training_history (the README workflow command)."""
+    ckpt = str(workdir / "ckpt" / "best_model.fckpt")
+    out = run(["scripts/plot_training_stages.py",
+               "--checkpoints", ckpt, "--names", "Stage 1 (PSNR)",
+               "--output", str(tmp_path / "plots")])
+    assert "Saved" in out
+    pngs = list((tmp_path / "plots").glob("*.png"))
+    assert pngs, "no plots written"
+
+
+def test_measure_inference_time_cli(workdir):
+    """Latency CLI on the tiny trained checkpoint (CPU): per-batch stats
+    printed, on-device scalar sync path exercised."""
+    out = run(["scripts/measure_inference_time.py",
+               "--checkpoint", str(workdir / "ckpt" / "best_model.fckpt"),
+               "--platform", "cpu", "--num-runs", "3", "--warmup", "1",
+               "--input-size", "16"])
+    assert "ms" in out.lower()
