@@ -44,11 +44,21 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None)
         "tree": _to_numpy(tree),
     }
     data = serialization.msgpack_serialize(payload)
-    tmp = path + ".tmp"
+    # per-process temp name: concurrent writers (e.g. serving replicas both
+    # converting the same pretrained .pth) must never interleave into one
+    # temp file, or a partial checkpoint gets atomically renamed into place
+    tmp = f"{path}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict[str, Any]]:

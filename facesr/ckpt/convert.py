@@ -367,10 +367,15 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
     """
     from facesr.ckpt.checkpoint import save_checkpoint
 
-    # rrdbnet artifacts come from the download path and are plain tensor
-    # state dicts: refuse arbitrary pickle payloads in them
+    # rrdbnet artifacts come from the download path, and torchvision
+    # vgg19/inception releases are plain tensor state dicts: refuse
+    # arbitrary pickle payloads in all three. Reference-trained 'custom'/
+    # 'transfer' checkpoints and lpips artifacts may carry richer pickles;
+    # they keep the try-safe-then-fallback default.
     sd = load_torch_state_dict(
-        pth_path, weights_only=True if kind == "rrdbnet" else None)
+        pth_path,
+        weights_only={"rrdbnet": True, "vgg19": True,
+                      "inception": True}.get(kind))
     if kind == "custom":
         params = convert_face_enhance_net_state_dict(sd)
         from facesr.ckpt.checkpoint import infer_model_config_from_params

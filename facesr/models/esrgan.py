@@ -204,7 +204,6 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
     import hashlib
     import os
     import re as _re
-    import shutil
     import urllib.request
     from pathlib import Path
 
@@ -223,22 +222,31 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
         tmp = d / f"{model_name}.pth.part.{os.getpid()}"
         try:
             print(f"Downloading {model_name} weights...")
+            # torch-hub URLs embed the first 8 sha256 hex chars in the
+            # filename; hash incrementally during the copy (no second
+            # full read of a ~67 MB artifact) and verify before the rename
+            m = _re.search(r"-([0-9a-f]{8})\.pth$", url)
+            hasher = hashlib.sha256() if m else None
+            size = 0
             with urllib.request.urlopen(url, timeout=timeout) as r, \
                     open(tmp, "wb") as f:
-                shutil.copyfileobj(r, f)
                 expect = r.headers.get("Content-Length")
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+                    size += len(chunk)
+                    if hasher is not None:
+                        hasher.update(chunk)
             # http.client deliberately does NOT raise on a body shorter
             # than Content-Length (reads EOF silently) — check ourselves,
             # or a truncated transfer gets renamed into place
-            if expect is not None and tmp.stat().st_size != int(expect):
+            if expect is not None and size != int(expect):
                 raise OSError(
-                    f"truncated transfer: got {tmp.stat().st_size} of "
-                    f"{expect} bytes")
-            # torch-hub URLs embed the first 8 sha256 hex chars in the
-            # filename; verify when present (tamper/corruption gate)
-            m = _re.search(r"-([0-9a-f]{8})\.pth$", url)
-            if m:
-                h = hashlib.sha256(tmp.read_bytes()).hexdigest()
+                    f"truncated transfer: got {size} of {expect} bytes")
+            if hasher is not None:
+                h = hasher.hexdigest()
                 if not h.startswith(m.group(1)):
                     raise ValueError(
                         f"sha256 mismatch: got {h[:8]}, URL pins {m.group(1)}")
@@ -254,6 +262,16 @@ def resolve_pretrained_weights(model_name: str = "RealESRGAN_x4plus",
 
         try:
             convert_pth(str(pth), str(fckpt), kind="rrdbnet")
+        except (OSError, ImportError, MemoryError) as e:
+            # environmental failure (disk full writing the .fckpt, torch
+            # missing, OOM): the .pth may be perfectly good — keep it, so
+            # conversion retries on the next construction instead of
+            # quarantining an artifact that may be irreplaceable offline
+            print(f"Warning: could not convert {pth} "
+                  f"({type(e).__name__}: {e}); leaving it in place — "
+                  f"conversion will retry on the next construction. "
+                  f"Running randomly initialized.")
+            return None
         except Exception as e:
             # a bad .pth (HTTP-200 error page, wrong architecture) must not
             # permanently break construction: quarantine it and degrade

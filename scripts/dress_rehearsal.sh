@@ -22,8 +22,12 @@ WORK="$(cd "${1:-/tmp/rehearsal}" && pwd)"   # absolute: configs embed it
 # generated copy so a custom workdir chains from ITS OWN checkpoints.
 CFG="$WORK/configs"
 mkdir -p "$CFG"
+# escape sed-replacement metacharacters (& = matched text, \ = escape, | =
+# our delimiter) so a workdir containing them can't silently corrupt the
+# generated configs
+WORK_ESC=$(printf '%s' "$WORK" | sed 's/[&\\|]/\\&/g')
 for f in stage1_psnr stage2_ssim stage3_gan; do
-    sed "s|/tmp/rehearsal|$WORK|g" "configs/rehearsal/$f.yaml" > "$CFG/$f.yaml"
+    sed "s|/tmp/rehearsal|$WORK_ESC|g" "configs/rehearsal/$f.yaml" > "$CFG/$f.yaml"
 done
 # test hook: stop after generating configs (path plumbing is gated by
 # tests/test_scripts_e2e.py without running the multi-hour curriculum)

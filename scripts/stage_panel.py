@@ -76,6 +76,15 @@ def main() -> None:
                              for p in args.checkpoints]
     if len(labels) != len(args.checkpoints):
         raise SystemExit("--labels must match --checkpoints")
+    # labels key the model/output dicts and the reserved panel columns —
+    # a collision would silently drop a checkpoint while the printed
+    # column list still advertises it
+    reserved = {"bicubic", "GT"}
+    bad = {l for l in labels if labels.count(l) > 1} | (set(labels) & reserved)
+    if bad:
+        raise SystemExit(
+            f"Duplicate or reserved labels {sorted(bad)}; pass unique "
+            f"--labels (and not {sorted(reserved)})")
     regions = [r.strip() for r in args.regions.split(",") if r.strip()]
     for r in regions:
         if r not in FACE_REGIONS:
