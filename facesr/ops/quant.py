@@ -39,11 +39,6 @@ def is_int8_kernel(w) -> bool:
 MIN_QUANT_SIZE = 256
 
 
-def _quantizable(leaf: jax.Array) -> bool:
-    return (leaf.ndim >= 2 and leaf.size >= MIN_QUANT_SIZE
-            and leaf.dtype in (jnp.float32, jnp.bfloat16))
-
-
 def _is_conv_kernel(path, leaf) -> bool:
     """Shared site predicate for the int8 serving transform and the QAT
     fake-quant transform — the two MUST select identical leaves so training
@@ -63,19 +58,23 @@ def quantize_pytree(params: Any) -> Tuple[Any, Any]:
     """(q_tree, scale_tree): int8 leaves + per-output-channel scales.
 
     Non-quantizable leaves pass through unchanged with a scalar 1.0 scale
-    so both trees keep the params structure (jit-friendly). Channel-
-    attention (`ca`/`fc*`) leaves stay float like the full-int8 path: the
-    SE bottleneck matrices clear the size gate (e.g. [64, 8] = 512 elems)
-    but gate the whole block through a sigmoid — accuracy risk for ~1KB
-    of footprint."""
+    so both trees keep the params structure (jit-friendly). Site selection
+    is the SAME `_is_conv_kernel` predicate as the full-int8 and QAT
+    transforms: only conv kernels quantize — stacked biases/PReLU alphas
+    ([G, B, C] leaves that would clear a naive size gate) must stay f32
+    (one shared scale across G*B blocks can zero out a small block's
+    bias), and channel-attention (`ca`/`fc*`) matrices stay float because
+    they gate whole blocks through a sigmoid — accuracy risk for ~1KB.
+    Scales are per output channel with keepdims on the leading stack axes
+    (one scale per (G, B, O) slice, like `quantize_conv_kernels`): a
+    single scale shared across all stacked blocks would squeeze a
+    low-magnitude group onto a handful of int8 levels."""
     def qs(path, leaf):
         leaf = jnp.asarray(leaf)
-        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
-        if (any(k == "ca" or k.startswith("fc") for k in keys)
-                or not _quantizable(leaf)):
+        if not _is_conv_kernel(path, leaf):
             return leaf, jnp.asarray(1.0, jnp.float32)
         f = leaf.astype(jnp.float32)
-        axes = tuple(range(leaf.ndim - 1))
+        axes = tuple(range(leaf.ndim - 4, leaf.ndim - 1))  # kh, kw, I
         scale = jnp.max(jnp.abs(f), axis=axes, keepdims=True) / 127.0
         scale = jnp.where(scale == 0, 1.0, scale)
         q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
@@ -209,15 +208,23 @@ def fake_quant_params(params: Any, act_scales: Any = None) -> Any:
 # then attach the collected scales as a static "a" leaf that rides the
 # params pytree exactly like q/scale do.
 
-_ACT_STATS: dict = {"arr": None}
+import threading as _threading
+
+_ACT_STATS: dict = {"arr": None, "lock": _threading.Lock()}
 
 
 def _record_act_max(sid, amax) -> None:
-    arr = _ACT_STATS["arr"]
-    if arr is None:  # stale callback after the context closed — ignore
-        return
     i = int(np.asarray(sid).reshape(()))
-    arr[i] = max(arr[i], float(np.asarray(amax).reshape(())))
+    v = float(np.asarray(amax).reshape(()))
+    # lock: ordered=False callbacks may run concurrently (multi-device or
+    # threaded dispatch) and a lost read-modify-write would silently
+    # undersize a scale. np.maximum (not Python max) so a NaN activation
+    # sticks instead of being discarded — calibrate_act_scales then raises.
+    with _ACT_STATS["lock"]:
+        arr = _ACT_STATS["arr"]
+        if arr is None:  # stale callback after the context closed — ignore
+            return
+        arr[i] = np.maximum(arr[i], v)
 
 
 def maybe_record_act_scale(w: dict, a: jax.Array) -> None:
@@ -284,10 +291,19 @@ def calibrate_act_scales(params: Any, forward_fn, batches, margin: float = 1.0) 
         # from the last batch could land after the window closes and be
         # dropped by the stale-callback guard — silently undersized scales.
         jax.effects_barrier()
-    if not np.any(stats > 0):
+    # every conv site executes on every forward in these models, so a
+    # per-site zero stat is always anomalous (dropped callbacks, all-zero
+    # calibration input) and a NaN means non-finite activations — either
+    # would silently become a degenerate static scale of 1.0 on the
+    # deployed grid. (~(stats > 0) also catches NaN.)
+    bad = np.flatnonzero(~(stats > 0) | ~np.isfinite(stats))
+    if bad.size:
         raise RuntimeError(
-            "calibration recorded no activation statistics — did the "
-            "forward route through facesr.ops.conv2d with the quantized tree?"
+            f"calibration left {bad.size}/{stats.size} conv sites without a "
+            f"positive finite activation max (sids {bad[:8].tolist()}"
+            f"{'...' if bad.size > 8 else ''}) — did the forward route "
+            "through facesr.ops.conv2d with the quantized tree, and was the "
+            "calibration input non-degenerate?"
         )
     return attach_act_scales(qp, stats, margin=margin)
 

@@ -41,9 +41,13 @@ def load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
     # per-extension lowercase globs silently calibrate on a subset
     from pathlib import Path
 
-    paths = [str(p) for p in _list_images(Path(calib_dir))][:limit]
+    # truncate to `limit` AFTER the readability filter, not before —
+    # unreadable files at the front of the listing must not crowd out
+    # good images further down
     imgs = []
-    for p in paths:
+    for p in (str(p) for p in _list_images(Path(calib_dir))):
+        if len(imgs) >= limit:
+            break
         bgr = cv2.imread(p, cv2.IMREAD_COLOR)
         if bgr is None:
             continue

