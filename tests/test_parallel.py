@@ -138,6 +138,53 @@ def test_int8_weight_quantized_serving():
     assert not np.array_equal(got, ref)  # quantization actually happened
 
 
+def test_weight_only_quant_trained_weight_structure():
+    """Random-init params are the pessimal case for quality gates but the
+    EASY case for quantization structure: biases are exactly zero and
+    alphas constant, so a transform that wrongly int8-quantizes them is
+    invisible above. This test builds trained-like skew — block-to-block
+    magnitude variance in the stacked leaves — and pins the contract:
+    biases/alphas stay f32, and kernel scales are per-(stack-slice, O)
+    so a low-magnitude block keeps its int8 resolution."""
+    from facesr.ops.quant import quantize_pytree, dequantize_pytree
+
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=3,
+                                   blocks_per_group=4)
+    model = fen.FaceEnhanceNet(cfg)
+    p = model.params
+    rcab = p["groups"]["rcab"]
+    key = jax.random.PRNGKey(7)
+    # trained-like: one block's bias ~1.0, another ~0.004, same channel —
+    # a shared per-channel scale would round the small one to exactly 0
+    b = np.zeros(np.shape(rcab["conv1_b"]), np.float32)   # [G, B, C]
+    b[0, 0, :] = 1.0
+    b[2, 3, :] = 0.004
+    rcab["conv1_b"] = jnp.asarray(b)
+    # and a low-magnitude group in the stacked kernels
+    w = np.asarray(jax.random.normal(key, np.shape(rcab["conv1_w"]),
+                                     jnp.float32)) * 0.1   # [G, B, kh, kw, I, O]
+    w[0] *= 10.0   # group 0 dominates; old shared scales starve the rest
+    rcab["conv1_w"] = jnp.asarray(w)
+
+    q_tree, s_tree = quantize_pytree(p)
+    # biases and PReLU alphas pass through as float, untouched
+    assert q_tree["groups"]["rcab"]["conv1_b"].dtype != jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(q_tree["groups"]["rcab"]["conv1_b"]), b)
+    assert q_tree["groups"]["rcab"]["prelu_a"].dtype != jnp.int8
+    # kernel scales keep the stack axes: one scale per (G, B, O) slice
+    qw = q_tree["groups"]["rcab"]["conv1_w"]
+    sw = s_tree["groups"]["rcab"]["conv1_w"]
+    assert qw.dtype == jnp.int8
+    assert sw.shape[:2] == w.shape[:2] and sw.shape[-1] == w.shape[-1]
+    # per-slice resolution: the non-dominant groups' dequant error must be
+    # bounded by THEIR OWN scale step, not group 0's 10x larger one
+    deq = np.asarray(dequantize_pytree(qw, sw, jnp.float32))
+    err = np.abs(deq - w)
+    step = np.broadcast_to(np.asarray(sw), w.shape)
+    assert float(np.max(err - step / 2)) <= 1e-6
+
+
 def test_int8_full_quantized_serving():
     """Full-int8 (weights + dynamic activation scales) serving: the s8 conv
     path must stay within a quality gate of f32 and produce valid shapes."""
