@@ -25,9 +25,7 @@ Usage:
 
 import argparse
 import json
-import os
 import sys
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import urlparse, parse_qs
@@ -103,7 +101,8 @@ class SRService:
         mb = (max_batch or 4 * n) if batch_window_ms > 0 else 0
         if dtype and dtype != "f32":
             import jax.numpy as jnp
-            from facesr.parallel.serving import ShardedPredictor
+            from facesr.parallel.serving import (ShardedPredictor,
+                                                 per_model_quant_cache)
 
             calibration = None
             if calib_dir and dtype == "int8_full":
@@ -130,9 +129,7 @@ class SRService:
                     m, dtype=jdtype, max_batch=pmb,
                     remainder_sizes=tuple(rs),
                     calibration=calibration,
-                    quant_cache=(
-                        f"{qc}.{name.lower().replace(' ', '_')}.fckpt"
-                        if qc else None))
+                    quant_cache=per_model_quant_cache(qc, name))
                 for name, m in self.models.items()
             }
         if batch_window_ms > 0:
@@ -228,6 +225,12 @@ class SRService:
 
 def make_handler(service: SRService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response already carries an exact
+        # Content-Length, and without this the default HTTP/1.0 closes the
+        # connection per request — a new TCP setup per image on a serving
+        # path whose overhead is already host-bound (api_load_probe.py)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 

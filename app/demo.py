@@ -93,7 +93,9 @@ def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
     demo can exercise the deployed quantized path."""
     if not dtype or dtype == "f32":
         return models
-    from facesr.parallel.serving import ShardedPredictor, load_calibration_images
+    from facesr.parallel.serving import (ShardedPredictor,
+                                         load_calibration_images,
+                                         per_model_quant_cache)
 
     import jax.numpy as jnp
 
@@ -104,8 +106,8 @@ def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
     return {
         name: ShardedPredictor(
             m, dtype=jdtype, max_batch=max_batch, calibration=calibration,
-            quant_cache=(f"{quant_cache}.{name.lower().replace(' ', '_')}.fckpt"
-                         if quant_cache and dtype == "int8_full" else None))
+            quant_cache=per_model_quant_cache(
+                quant_cache if dtype == "int8_full" else None, name))
         for name, m in models.items()
     }
 

@@ -202,6 +202,18 @@ class FFHQDataset:
                 )
         else:
             self.lr_files = lr_listing
+            # stems are the pairing key: a duplicate stem within one dir
+            # (face1.png + face1.jpg) survives set reconciliation and then
+            # mispairs or crashes indexing — refuse loudly instead
+            from collections import Counter
+            for label, files in (("HR", self.hr_files), ("LR", self.lr_files)):
+                dupes = sorted(s for s, n in Counter(f.stem for f in files).items() if n > 1)
+                if dupes:
+                    raise ValueError(
+                        f"Duplicate image stems in {label} dir (same name, "
+                        f"different extension): {dupes[:5]}"
+                        f"{'...' if len(dupes) > 5 else ''} — HR/LR pairing "
+                        "is by stem and would be ambiguous")
             hr_names = {f.stem for f in self.hr_files}
             lr_names = {f.stem for f in self.lr_files}
             if hr_names != lr_names:
@@ -267,6 +279,9 @@ class FFHQDataset:
         return result
 
     def get_sample_images(self, n: int = 5) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Sample n (lr, hr) pairs — NOTE the order is (LR, HR), matching the
+        reference's API (reference dataset.py:309), which is the REVERSE of
+        `_load_images`' internal (hr, lr) order."""
         indices = np.random.default_rng(0).choice(len(self), min(n, len(self)), replace=False)
         return [tuple(reversed(self._load_images(int(i)))) for i in indices]
 

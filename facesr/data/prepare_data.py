@@ -93,9 +93,19 @@ def process_and_save_images(
     degradation: str = "bicubic",
     desc: str = "Processing",
 ) -> int:
-    """Write HR/ and LR/ PNGs for each input image; returns count written."""
+    """Write HR/ and LR/ PNGs for each input image; returns count written.
+
+    This run OWNS the split's HR/ and LR/ dirs: stale files from a previous
+    run (different --max-images/--seed) are removed first, or they would be
+    silently packed into the new split/HDF5 — train/test leakage."""
+    import shutil
+
     hr_dir = output_dir / "HR"
     lr_dir = output_dir / "LR"
+    for d in (hr_dir, lr_dir):
+        if d.exists() and any(d.iterdir()):
+            print(f"Clearing stale files in {d} from a previous run")
+            shutil.rmtree(d)
     hr_dir.mkdir(parents=True, exist_ok=True)
     lr_dir.mkdir(parents=True, exist_ok=True)
 

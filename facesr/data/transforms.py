@@ -50,7 +50,20 @@ class PairedTransform:
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
+        # accepted for config parity but NOT applied: the reference stores
+        # hue and never uses it in its jitter either (reference
+        # transforms.py:171,226-257) — applying it here would silently
+        # change training behavior vs the reference. Warn so a user setting
+        # it knows it is a no-op on both sides.
         self.hue = hue
+        # silent at the shared default (0.05): only a user who explicitly
+        # dialed hue expecting an effect needs to hear this
+        if hue not in (0, 0.05) and mode == "train" and color_jitter_prob > 0:
+            import warnings
+            warnings.warn(
+                "color_jitter 'hue' is accepted for reference config parity "
+                "but not applied (the reference never applies it either)",
+                stacklevel=2)
         # DataLoader calls __getitem__ from a ThreadPoolExecutor, and numpy
         # Generators are not thread-safe — each worker thread gets its own
         # Generator, spawned from one SeedSequence (no shared mutable draw
@@ -79,8 +92,12 @@ class PairedTransform:
         hr_h, hr_w = hr_image.shape[:2]
 
         if self.mode == "train":
-            # Scale-aware random crop (reference transforms.py:188-207)
-            if hr_h > self.hr_patch_size and hr_w > self.hr_patch_size:
+            # Scale-aware random crop (reference transforms.py:188-207).
+            # >= where the reference uses >: with one dim == patch size the
+            # reference skips the crop entirely and the oversized other dim
+            # produces ragged batches; >= crops to the patch (offset 0 on
+            # the equal dim — identical pixels) so batch shapes stay static.
+            if hr_h >= self.hr_patch_size and hr_w >= self.hr_patch_size:
                 top = int(self.rng.integers(0, hr_h - self.hr_patch_size + 1))
                 left = int(self.rng.integers(0, hr_w - self.hr_patch_size + 1))
                 hr_image = hr_image[top:top + self.hr_patch_size, left:left + self.hr_patch_size]

@@ -182,7 +182,7 @@ def create_gradcam_visualization(
     gradcam.py:250-309)."""
     import matplotlib
 
-    matplotlib.use("Agg")
+    matplotlib.use("Agg", force=False)  # never hijack an interactive backend
     import matplotlib.pyplot as plt
 
     x = jnp.asarray(lr_image[None] if lr_image.ndim == 3 else lr_image, jnp.float32)
@@ -244,7 +244,7 @@ def visualize_attention_flow(model, lr_image: np.ndarray,
     (reference gradcam.py:312-379)."""
     import matplotlib
 
-    matplotlib.use("Agg")
+    matplotlib.use("Agg", force=False)  # never hijack an interactive backend
     import matplotlib.pyplot as plt
 
     x = jnp.asarray(lr_image[None] if lr_image.ndim == 3 else lr_image, jnp.float32)

@@ -37,10 +37,15 @@ def psnr(pred: jax.Array, target: jax.Array, data_range: float = 1.0) -> jax.Arr
 
 
 def psnr_batch(pred: jax.Array, target: jax.Array, data_range: float = 1.0) -> jax.Array:
-    """Per-image PSNR over NHWC batch -> (B,)."""
+    """Per-image PSNR over NHWC batch -> (B,). Agrees with `psnr` on the
+    perfect-reconstruction case (inf, like skimage) instead of capping."""
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
     mse = jnp.mean(diff * diff, axis=(1, 2, 3))
-    return 10.0 * jnp.log10(data_range ** 2 / (mse + 1e-10))
+    return jnp.where(
+        mse == 0,
+        jnp.asarray(jnp.inf, jnp.float32),
+        10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-20)),
+    )
 
 
 class PSNR:
@@ -130,6 +135,14 @@ class MetricCalculator:
             all_ssim.append(float(self.ssim(sr, hr)))
             if self.lpips.available:
                 all_lpips.append(float(self.lpips(sr, hr)))
+
+        if not all_psnr:
+            # np.mean([]) would return NaN with only a RuntimeWarning and
+            # silently poison downstream tables/best-model selection (the
+            # same zero-batch class the Trainer guards against)
+            raise RuntimeError(
+                "evaluate_dataset received zero batches — empty eval split, "
+                "or batch_size larger than the split with drop_last?")
 
         results = {
             "psnr_mean": float(np.mean(all_psnr)),

@@ -25,7 +25,16 @@ from facesr.parallel.mesh import (
 __all__ = ["ShardedPredictor", "SpatialPredictor", "MicroBatcher",
            "build_serving_fn",
            "calibrated_qparams", "load_calibrated_qparams",
-           "load_calibration_images"]
+           "load_calibration_images", "per_model_quant_cache"]
+
+
+def per_model_quant_cache(quant_cache, model_name: str):
+    """The per-model quant-cache filename contract, shared by the API and
+    the demo (a drifting copy in either would silently split their caches):
+    `<base>.<model_name_slug>.fckpt`, or None when no base path is set."""
+    if not quant_cache:
+        return None
+    return f"{quant_cache}.{model_name.lower().replace(' ', '_')}.fckpt"
 
 
 def load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
