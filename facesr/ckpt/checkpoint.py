@@ -94,7 +94,9 @@ def infer_model_config_from_params(params: Any):
     torch state-dict shapes at `scripts/test_model.py:35-79`)."""
     from facesr.models.face_enhance_net import FaceEnhanceNetConfig
 
-    num_channels = int(np.asarray(params["conv_first"]["w"]).shape[-1])
+    first_w = np.asarray(params["conv_first"]["w"])
+    num_channels = int(first_w.shape[-1])
+    kernel_size = int(first_w.shape[0])  # [kh, kw, I, O]
     rcab_w = np.asarray(params["groups"]["rcab"]["conv1_w"])
     num_groups, blocks_per_group = int(rcab_w.shape[0]), int(rcab_w.shape[1])
     fc1 = np.asarray(params["groups"]["rcab"]["ca"]["fc1_w"])
@@ -118,6 +120,7 @@ def infer_model_config_from_params(params: Any):
         blocks_per_group=blocks_per_group,
         reduction_ratio=reduction_ratio,
         scale_factor=2 ** num_stages,
+        kernel_size=kernel_size,
     )
 
 
@@ -145,14 +148,18 @@ def _restore_list_nodes(tree: Any) -> Any:
     return tree
 
 
-def load_model(path: str, model_type: str = "custom", prefer_ema: bool = True):
+def load_model(path: str, model_type: str = "custom", prefer_ema: bool = True,
+               preloaded: Optional[Tuple[Any, Dict[str, Any]]] = None):
     """Load (config, params) from a model or trainer checkpoint.
 
     `prefer_ema`: serve the EMA weights when the checkpoint carries them
     (trainer runs with ema_decay > 0) — the standard SR-GAN convention
     (RealESRGAN ships/serves `params_ema`); pass False for the raw
-    optimized weights."""
-    tree, meta = load_checkpoint(path)
+    optimized weights.
+    `preloaded`: an already-read `load_checkpoint(path)` result — callers
+    that need the meta first (load_any_model, export_pth) pass it to avoid
+    reading + msgpack-parsing the file twice."""
+    tree, meta = preloaded if preloaded is not None else load_checkpoint(path)
     if prefer_ema and tree.get("ema_params") is not None:
         params = tree["ema_params"]
     elif "params" in tree:
@@ -162,12 +169,26 @@ def load_model(path: str, model_type: str = "custom", prefer_ema: bool = True):
     else:
         raise ValueError(f"No model params found in checkpoint {path}")
     params = jax.tree.map(lambda x: np.asarray(x), params)
-    params = _restore_list_nodes(params)
 
     # Trainer checkpoints carry the architecture under 'model_config'
     # ('config' is the TrainerConfig); model-only checkpoints use 'config'.
     cfg_dict = meta.get("model_config") or meta.get("config")
     mtype = meta.get("model_type", model_type)
+
+    # scanned bodies saved per-block (legacy format) restore as digit-keyed
+    # dicts; restack them BEFORE the list restore, or lax.scan receives a
+    # python list it cannot consume (ESRGANBaseline and
+    # load_pretrained_backbone already restack defensively — this loader
+    # must accept the same checkpoints)
+    if mtype == "esrgan" and isinstance(params, dict) and "body" in params:
+        params["body"] = restack_scanned(params["body"])
+    elif mtype == "transfer" and isinstance(params, dict):
+        bb = params.get("backbone")
+        if isinstance(bb, dict):
+            for k in ("body_main", "body_tail"):
+                if bb.get(k) is not None:
+                    bb[k] = restack_scanned(bb[k])
+    params = _restore_list_nodes(params)
     if mtype in ("custom", "lite"):
         from facesr.models.face_enhance_net import FaceEnhanceNetConfig
 
@@ -183,11 +204,19 @@ def load_model(path: str, model_type: str = "custom", prefer_ema: bool = True):
 
         known = {k: v for k, v in (cfg_dict or {}).items()
                  if k in TransferModelConfig.__dataclass_fields__}
-        return TransferModelConfig(**known), params
+        if known:
+            return TransferModelConfig(**known), params
+        # no stored config (e.g. a hand-converted checkpoint): infer from
+        # shapes instead of silently assuming the default architecture
+        from facesr.ckpt.convert import infer_transfer_config
+
+        return infer_transfer_config(params), params
     if mtype == "esrgan":
-        from facesr.models.esrgan import RRDBNetConfig
+        from facesr.models.esrgan import RRDBNetConfig, infer_rrdbnet_config
 
         known = {k: v for k, v in (cfg_dict or {}).items()
                  if k in RRDBNetConfig.__dataclass_fields__}
-        return RRDBNetConfig(**known), params
+        if known:
+            return RRDBNetConfig(**known), params
+        return infer_rrdbnet_config(params), params
     raise ValueError(f"Unsupported model_type: {mtype}")

@@ -233,8 +233,14 @@ def convert_rrdbnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """RealESRGAN/ESRGAN RRDBNet state dict -> facesr params (stacked body)."""
     import jax
 
-    num_blocks = len({int(m.group(1)) for k in sd
-                      if (m := re.match(r"body\.(\d+)\.", k))})
+    idxs = {int(m.group(1)) for k in sd
+            if (m := re.match(r"body\.(\d+)\.", k))}
+    if not idxs or sorted(idxs) != list(range(len(idxs))):
+        raise ValueError(
+            f"RRDBNet state dict body indices missing or non-contiguous "
+            f"(found {sorted(idxs)[:6]}): not a plain RRDBNet state dict — "
+            "strip any 'module.' (DataParallel) prefix first")
+    num_blocks = len(idxs)
 
     def rdb(i: int, j: int) -> Dict[str, np.ndarray]:
         out = {}
@@ -396,8 +402,18 @@ def convert_pth(pth_path: str, out_path: str, kind: str = "custom",
         save_checkpoint(out_path, weights,
                         {"model_type": "lpips_alex", "converted_from": pth_path})
     elif kind == "rrdbnet":
-        save_checkpoint(out_path, {"params": convert_rrdbnet_state_dict(sd)},
-                        {"model_type": "esrgan", "converted_from": pth_path})
+        from dataclasses import asdict
+
+        from facesr.models.esrgan import infer_rrdbnet_config
+
+        params = convert_rrdbnet_state_dict(sd)
+        # store the inferred architecture so non-x4plus conversions
+        # (num_feat/num_blocks variants) load with the right config instead
+        # of the RRDBNetConfig defaults
+        save_checkpoint(out_path, {"params": params},
+                        {"model_type": "esrgan",
+                         "config": asdict(infer_rrdbnet_config(params)),
+                         "converted_from": pth_path})
     elif kind == "transfer":
         from dataclasses import asdict
 

@@ -182,7 +182,8 @@ def export_pth(fckpt_path: str, out_path: str, kind: str = "auto",
 
     from facesr.ckpt.checkpoint import load_checkpoint, load_model
 
-    _, meta = load_checkpoint(fckpt_path)
+    loaded = load_checkpoint(fckpt_path)
+    meta = loaded[1]
     mtype = meta.get("model_type", "custom") if kind == "auto" else kind
     mtype = {"rrdbnet": "esrgan", "lite": "custom"}.get(mtype, mtype)
     if mtype not in ("custom", "transfer", "esrgan"):
@@ -190,7 +191,7 @@ def export_pth(fckpt_path: str, out_path: str, kind: str = "auto",
             f"Cannot export model_type '{mtype}' to a reference .pth "
             f"(supported: custom/lite, transfer, esrgan/rrdbnet)")
     cfg, params = load_model(fckpt_path, model_type=mtype,
-                             prefer_ema=prefer_ema)
+                             prefer_ema=prefer_ema, preloaded=loaded)
 
     if mtype == "esrgan":
         sd = export_rrdbnet_state_dict(params)

@@ -217,6 +217,11 @@ def create_loss_function(
         ssim_weight=ssim_weight,
     )
     for k, v in kwargs.items():
-        if hasattr(cfg, k):
-            setattr(cfg, k, v)
+        if not hasattr(cfg, k):
+            # silent dropping turns typos into wrong loss weights —
+            # raise like CombinedLoss.__init__ does for the same input
+            raise TypeError(
+                f"create_loss_function got unknown argument {k!r} "
+                f"(valid: LossConfig fields)")
+        setattr(cfg, k, v)
     return CombinedLoss(cfg, vgg_params=vgg_params)

@@ -175,12 +175,15 @@ def create_discriminator(
     **kwargs,
 ) -> Tuple[DiscriminatorConfig, Params, Params]:
     """Factory matching reference `create_discriminator` (discriminator.py:196-219)."""
-    cfg = DiscriminatorConfig(
-        in_channels=3,
-        base_channels=base_channels,
-        input_size=input_size,
-        use_bn=use_bn,
-        use_sigmoid=False,
-    )
+    fields = DiscriminatorConfig.__dataclass_fields__
+    unknown = set(kwargs) - set(fields)
+    if unknown:
+        # silently dropped kwargs would change GAN semantics without a trace
+        raise TypeError(f"create_discriminator got unknown argument(s) "
+                        f"{sorted(unknown)} (valid: {sorted(fields)})")
+    base = dict(in_channels=3, base_channels=base_channels,
+                input_size=input_size, use_bn=use_bn, use_sigmoid=False)
+    base.update(kwargs)
+    cfg = DiscriminatorConfig(**base)
     params, stats = init(jax.random.PRNGKey(seed), cfg)
     return cfg, params, stats

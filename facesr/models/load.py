@@ -19,9 +19,12 @@ __all__ = ["load_any_model"]
 def load_any_model(path: str):
     """Returns a model wrapper (.config/.params/.apply_fn/__call__) for a
     custom / transfer / esrgan checkpoint."""
-    _, meta = load_checkpoint(str(path))
-    mtype = meta.get("model_type", "custom")
-    cfg, params = load_model(str(path), model_type=mtype)
+    loaded = load_checkpoint(str(path))
+    mtype = loaded[1].get("model_type", "custom")
+    # pass the parsed payload through: trainer checkpoints carry optimizer
+    # state 3-4x the model size, and a second read + msgpack parse of that
+    # on every demo/API/compare startup is pure waste
+    cfg, params = load_model(str(path), model_type=mtype, preloaded=loaded)
     params = jax.tree.map(np.asarray, params)
     if mtype in ("custom", "lite"):
         from facesr.models.face_enhance_net import FaceEnhanceNet
@@ -30,9 +33,7 @@ def load_any_model(path: str):
     if mtype == "transfer":
         from facesr.models.transfer import TransferSRModel
 
-        model = TransferSRModel(cfg)
-        model.params = params
-        return model
+        return TransferSRModel(cfg, params=params)
     if mtype == "esrgan":
         from facesr.models.esrgan import RRDBNet
 

@@ -224,10 +224,14 @@ class TransferSRModel:
     (set_training_stage / get_model_info / forward)."""
 
     def __init__(self, config: Optional[TransferModelConfig] = None,
-                 pretrained_path: Optional[str] = None, seed: int = 0):
+                 pretrained_path: Optional[str] = None, seed: int = 0,
+                 params: Optional[Params] = None):
         self.config = config or TransferModelConfig()
         self.model_type = "transfer"
-        self.params = init(jax.random.PRNGKey(seed), self.config)
+        # pass params through like FaceEnhanceNet/RRDBNet: loading a
+        # checkpoint must not random-init 12M params only to discard them
+        self.params = (params if params is not None
+                       else init(jax.random.PRNGKey(seed), self.config))
         self.current_stage = TrainingStage.STAGE1_HEAD_ONLY
         if pretrained_path:
             self.load_pretrained_backbone(pretrained_path)
@@ -253,6 +257,17 @@ class TransferSRModel:
         bb["conv_first"] = src["conv_first"]
         bb["conv_body"] = src["conv_body"]
         body = restack_scanned(src["body"])
+        n_src = int(jax.tree.leaves(body)[0].shape[0])
+        need = self.config.backbone_blocks
+        if n_src < need:
+            raise ValueError(
+                f"Pretrained backbone at {path} has only {n_src} RRDB "
+                f"blocks; config.backbone_blocks={need} — a silent "
+                f"short-load would leave an empty stage-2 unfreeze set")
+        if n_src > need:
+            # intentional truncation (the reference takes the first N
+            # blocks of RealESRGAN's 23, transfer.py:156-182) — say so
+            print(f"Using the first {need} of {n_src} source RRDB blocks")
         n_tail = min(STAGE2_UNFREEZE_BLOCKS, self.config.backbone_blocks)
         n_main = self.config.backbone_blocks - n_tail
         bb["body_main"] = jax.tree.map(lambda a: a[:n_main], body)
