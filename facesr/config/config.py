@@ -40,8 +40,13 @@ def validate_config(config: Dict[str, Any], path: str = "<config>") -> list[str]
     if gan_type is not None and gan_type not in ("vanilla", "lsgan", "wgan"):
         warnings.append(f"unknown gan type {gan_type!r}")
     scale = config.get("data", {}).get("scale_factor")
-    if scale is not None and (scale & (scale - 1)) != 0:
-        warnings.append(f"scale_factor {scale} is not a power of 2")
+    if scale is not None:
+        # warn-only contract: a float/str scale must not TypeError out of
+        # the bit trick and crash load_config from inside the validator
+        if not isinstance(scale, int) or isinstance(scale, bool):
+            warnings.append(f"scale_factor {scale!r} should be an integer")
+        elif (scale & (scale - 1)) != 0:
+            warnings.append(f"scale_factor {scale} is not a power of 2")
     for w in warnings:
         print(f"Config warning ({path}): {w}")
     return warnings

@@ -116,8 +116,19 @@ class GridSearchTrainer:
     def _load_results(self) -> None:
         if self.results_path.exists():
             data = json.loads(self.results_path.read_text())
+            from dataclasses import fields as _fields
+
+            known = {f.name for f in _fields(ExperimentResult)}
             for k, v in data.items():
-                self.results[k] = ExperimentResult(**v)
+                try:
+                    # tolerate schema drift (results.json written by an
+                    # older/newer version): ignore unknown fields, and skip
+                    # a record missing required ones — it just re-runs
+                    self.results[k] = ExperimentResult(
+                        **{a: b for a, b in v.items() if a in known})
+                except TypeError as e:
+                    print(f"Warning: skipping unreadable result record "
+                          f"{k!r} ({e}); it will be re-run")
             done = sum(1 for r in self.results.values() if r.status == "completed")
             print(f"Resumed grid search: {done} completed experiments found")
 

@@ -271,6 +271,10 @@ class Trainer:
         self.loss_fn = loss_fn
 
         axes = tuple(a.strip() for a in self.config.mesh_axes.split(",") if a.strip())
+        if not axes:
+            raise ValueError(
+                "training.mesh_axes must name at least the batch axis "
+                "(e.g. 'data'), got an empty value")
         if axes[0] != self.config.mesh_axis:
             raise ValueError(
                 f"mesh_axes must start with the batch axis {self.config.mesh_axis!r}, "
@@ -434,6 +438,13 @@ class Trainer:
         opt_state = self.tx.init(model.params)
         opt_state = set_learning_rate(opt_state, self.config.learning_rate)
 
+        if self.config.gan_weight > 0 and discriminator is None:
+            # silently dropping the adversarial term would make a "GAN" run
+            # produce stage-1-style results with no trace of why
+            raise ValueError(
+                "gan_weight > 0 but no discriminator was provided — pass "
+                "the (config, params, stats) tuple from "
+                "create_discriminator, or set gan_weight to 0")
         self.use_gan = self.config.gan_weight > 0 and discriminator is not None
         d_params = d_stats = d_opt_state = None
         self.tx_d = None
@@ -735,7 +746,7 @@ class Trainer:
 
             self._log_epoch_metrics(epoch, train_metrics, val_metrics, self.current_lr)
 
-            if (epoch + 1) % self.config.save_every == 0:
+            if self.config.save_every and (epoch + 1) % self.config.save_every == 0:
                 self.save_checkpoint(f"epoch_{epoch + 1}.fckpt")
 
             metric_key = self.config.early_stopping_metric.replace("val_", "")
@@ -793,7 +804,8 @@ class Trainer:
                           f"loss {loss_now:.4f}",
                           end="\r" if sys.stdout.isatty() else "\n",
                           flush=True)
-            if self.use_wandb and self.global_step % self.config.log_every == 0:
+            if (self.use_wandb and self.config.log_every
+                    and self.global_step % self.config.log_every == 0):
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 wandb.log({f"train/{k}": v for k, v in metrics_host.items()}
                           | {"train/step": self.global_step})
@@ -829,11 +841,14 @@ class Trainer:
         totals = {"loss": 0.0, "psnr": 0.0, "ssim": 0.0}
         num_batches = 0
         sample = None
+        pending = []
         for batch_idx, batch in enumerate(self.val_loader):
             hr = self._shard_hr(batch["hr"])
             metrics, sr, lr_img = self._eval_step(self.state, hr)
-            for k in totals:
-                totals[k] += float(metrics[k])
+            # accumulate device scalars; float() here would serialize eval
+            # dispatch on the tunnel round-trip per batch — the same
+            # per-batch .item() stall _train_epoch documents avoiding
+            pending.append(metrics)
             num_batches += 1
             if batch_idx == 0 and self._proc_count == 1:
                 # multi-process: rows [:8] of the global batch live on
@@ -841,6 +856,11 @@ class Trainer:
                 # other hosts (non-addressable shards), so pods skip the
                 # validation-grid sample; metrics are unaffected
                 sample = (np.asarray(lr_img[:8]), np.asarray(sr[:8]), np.asarray(hr[:8]))
+
+        # ONE host sync for the whole epoch's metric scalars
+        for m in jax.device_get(pending):
+            for k in totals:
+                totals[k] += float(m[k])
 
         self._last_val_batches = num_batches
         if num_batches == 0:
@@ -857,7 +877,8 @@ class Trainer:
                 print(f"Warning: failed to save validation grid: {e}")
             # Sample images to W&B every log_images_every epochs
             # (reference trainer.py:610-617, 667-683).
-            if self.use_wandb and self.current_epoch % self.config.log_images_every == 0:
+            if (self.use_wandb and self.config.log_images_every
+                    and self.current_epoch % self.config.log_images_every == 0):
                 lr_s, sr_s, hr_s = sample
                 wandb.log({
                     "samples/lr": wandb.Image(np.clip(lr_s[0], 0, 1), caption="Low Resolution"),
@@ -1059,6 +1080,16 @@ class Trainer:
         self.global_step = meta["global_step"]
         self.best_metric = meta["best_metric"]
         self.training_history = meta["training_history"]
+        # a checkpoint from a differently-configured trainer (e.g. non-GAN
+        # stage 1 resumed into a GAN trainer) lacks keys _log_epoch_metrics
+        # appends to every epoch — backfill like __init__ does, or the
+        # first resumed epoch dies with a KeyError AFTER training it
+        for k in ("train_loss", "val_loss", "val_psnr", "val_ssim",
+                  "learning_rate"):
+            self.training_history.setdefault(k, [])
+        if self.use_gan:
+            for k in ("d_loss", "g_loss", "d_real", "d_fake"):
+                self.training_history.setdefault(k, [])
         if self.plateau is not None and meta.get("scheduler_state"):
             self.plateau.load_state_dict(meta["scheduler_state"])
         print(f"Loaded checkpoint from epoch {meta['epoch'] + 1}")

@@ -343,16 +343,6 @@ def main():
         discriminator=discriminator,
     )
 
-    if args.print_memory:
-        # report on the shape the train loop actually executes: batches
-        # are trimmed down (or padded up) to the mesh's batch divisor
-        div = trainer._batch_divisor
-        eff = batch_size - batch_size % div if batch_size >= div else div
-        if eff != batch_size:
-            print(f"(--print-memory: reporting on the effective batch "
-                  f"{eff}, the train loop's trim/pad of {batch_size})")
-        trainer.memory_report(eff, hr_patch)
-
     # CLI --resume is a full resume (unless --fine-tune); a `resume:` path
     # from the stage YAML is stage *chaining* and always loads weights-only —
     # a full resume from a completed prior stage would restore its epoch
@@ -365,8 +355,12 @@ def main():
     if args.resume:
         print(f"\nLoading checkpoint from {args.resume}")
         trainer.load_checkpoint(args.resume, weights_only=args.fine_tune)
-    elif checkpoint_config.get("resume") and Path(checkpoint_config["resume"]).exists():
+    elif checkpoint_config.get("resume"):
         path = checkpoint_config["resume"]
+        if not Path(path).exists():
+            # same guard as CLI --resume: silently training from scratch
+            # on a typo'd chain path wastes hours and overwrites the dir
+            raise SystemExit(f"checkpoint.resume not found: {path}")
         print(f"\nChaining from stage checkpoint {path} (weights only)")
         trainer.load_checkpoint(path, weights_only=True)
 
@@ -381,6 +375,21 @@ def main():
             trainer.state.params, args.qat_scales,
             require_weight_match=False))
         print(f"QAT pinned to calibrated activation scales from {args.qat_scales}")
+
+    if args.print_memory:
+        # AFTER any restore and --qat-scales pinning: memory_report traces
+        # (and freezes) the step program, so it must describe the program
+        # training will actually run — tracing before set_qat_scales both
+        # reported the wrong (dynamic-scale) program and made the later
+        # pinning raise
+        # report on the shape the train loop actually executes: batches
+        # are trimmed down (or padded up) to the mesh's batch divisor
+        div = trainer._batch_divisor
+        eff = batch_size - batch_size % div if batch_size >= div else div
+        if eff != batch_size:
+            print(f"(--print-memory: reporting on the effective batch "
+                  f"{eff}, the train loop's trim/pad of {batch_size})")
+        trainer.memory_report(eff, hr_patch)
 
     print("\n" + "=" * 60)
     print("Starting training...")
