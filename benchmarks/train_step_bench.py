@@ -150,7 +150,7 @@ def main() -> None:
     dt = sorted(dts)[1]
     ms = dt / args.steps * 1e3
     rate = args.batch * args.steps / dt
-    print(f"batch {args.batch}{" GAN" if args.gan else ""}"
+    print(f"batch {args.batch}{' GAN' if args.gan else ''}"
           f"{' QAT' if args.qat else ''}{' QAT-static' if args.qat_static else ''}"
           f"{f' ema={args.ema}' if args.ema else ''} "
           f"remat={args.remat} vgg_remat={args.vgg_remat} "

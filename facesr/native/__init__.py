@@ -100,10 +100,11 @@ def assemble_hr_batch(
                 f"image {i} must be HWC uint8 RGB, got "
                 f"shape={img.shape} dtype={img.dtype}")
         h, w = img.shape[:2]
-        if int(tops[i]) + crop > h or int(lefts[i]) + crop > w:
+        t, l = int(tops[i]), int(lefts[i])
+        if t < 0 or l < 0 or t + crop > h or l + crop > w:
             raise ValueError(
                 f"image {i} ({h}x{w}) cannot supply a {crop}px crop at "
-                f"({int(tops[i])},{int(lefts[i])})"
+                f"({t},{l})"
             )
     lib = get_lib()
     if lib is None:

@@ -36,6 +36,11 @@ def find_checkpoints(checkpoint_dir: str):
             "best_model": "Best Model",
             "final_model": "Final Model",
         }.get(stem, stem.replace("_", " ").title())
+        # A checkpoint titling to a baseline name (bicubic.fckpt ->
+        # "Bicubic") or to an already-taken name would silently overwrite
+        # that row's outputs and mislabel the summary — disambiguate.
+        while friendly in OPENCV_BASELINES or friendly in names:
+            friendly += " (model)"
         names[friendly] = p
     return names
 
@@ -144,7 +149,10 @@ def main():
               "unavailable (set $FACESR_INCEPTION_WEIGHTS to converted "
               "weights, facesr.ckpt.convert kind='inception').")
 
-    files = sorted(Path(args.test_dir).glob("*.png"))[: args.num_images]
+    from facesr.data.dataset import _list_images
+
+    test_dir = Path(args.test_dir)
+    files = (_list_images(test_dir) if test_dir.is_dir() else [])[: args.num_images]
     if not files:
         print(f"No test images in {args.test_dir}")
         return
@@ -165,9 +173,16 @@ def main():
     eval_chunk = 256
     predictors = None
     for chunk_start in range(0, len(files), eval_chunk):
-        chunk_files = files[chunk_start:chunk_start + eval_chunk]
-        hrs = [cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
-               for f in chunk_files]
+        chunk_files, hrs = [], []
+        for f in files[chunk_start:chunk_start + eval_chunk]:
+            bgr = cv2.imread(str(f))
+            if bgr is None:  # corrupt file: skip, don't abort the eval
+                print(f"  skipping unreadable image {f.name}")
+                continue
+            chunk_files.append(f)
+            hrs.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        if not hrs:
+            continue
         # HR dims must divide by scale or the SR (H//s*s) and HR shapes
         # mismatch in the metrics/strips; center-crop the remainder off
         hrs = [h[(h.shape[0] % args.scale) // 2:
@@ -198,9 +213,14 @@ def main():
                 if args.calibrate > 0 and args.serve_dtype == "int8_full":
                     # calibrate on LR synthesized from the first N eval
                     # images — the same distribution the predictor serves
-                    calib_hrs = [cv2.cvtColor(cv2.imread(str(f)),
-                                              cv2.COLOR_BGR2RGB)
-                                 for f in files[:args.calibrate]]
+                    calib_bgrs = [cv2.imread(str(f))
+                                  for f in files[:args.calibrate]]
+                    calib_hrs = [cv2.cvtColor(b, cv2.COLOR_BGR2RGB)
+                                 for b in calib_bgrs if b is not None]
+                    if not calib_hrs:
+                        raise SystemExit(
+                            "--calibrate: none of the first "
+                            f"{args.calibrate} eval images were readable")
                     calib_lrs = synthesize_lr_batched(calib_hrs, args.scale)
                     # one batch => uniform shapes (mixed-size eval sets
                     # calibrate on the first image's shape)

@@ -64,10 +64,10 @@ def main():
 
     model = load_any_model(args.checkpoint)
 
-    paths = sorted(
-        p for ext in ("png", "jpg", "jpeg", "bmp")
-        for p in Path(args.calib_dir).glob(f"*.{ext}")
-    )[:args.num_images]
+    from facesr.data.dataset import _list_images
+
+    calib_dir = Path(args.calib_dir)
+    paths = (_list_images(calib_dir) if calib_dir.is_dir() else [])[:args.num_images]
     if not paths:
         raise SystemExit(f"No images found in {args.calib_dir}")
     imgs = []

@@ -87,11 +87,13 @@ def main():
         (args.batch_size, args.input_size, args.input_size, 3), dtype=np.float32))
 
     dev = jax.devices()[0]
+    if args.int8:
+        prec = "int8_full/calibrated" if args.calibrate else "int8_full"
+    else:
+        prec = "bf16" if args.bf16 else "f32"
     print(f"Device: {dev.platform} | model {cfg.num_groups}x{cfg.blocks_per_group}"
           f"x{cfg.num_channels} | batch {args.batch_size} | "
-          f"input {args.input_size}x{args.input_size} | "
-          f"{'int8_full' + ('/calibrated' if args.calibrate else '')
-             if args.int8 else 'bf16' if args.bf16 else 'f32'}")
+          f"input {args.input_size}x{args.input_size} | {prec}")
 
     def time_model(fwd, params):
         for _ in range(args.warmup):

@@ -95,7 +95,10 @@ def main() -> None:
         models[label] = load_any_model(path)
         print(f"Loaded {label}: {path}")
 
-    files = sorted(Path(args.test_dir).glob("*.png"))
+    from facesr.data.dataset import _list_images
+
+    test_dir = Path(args.test_dir)
+    files = _list_images(test_dir) if test_dir.is_dir() else []
     if not files:
         raise SystemExit(f"No test images in {args.test_dir}")
     rng = np.random.default_rng(args.seed)
@@ -106,7 +109,11 @@ def main() -> None:
 
     rows = []
     for i in picks:
-        hr = cv2.cvtColor(cv2.imread(str(files[i])), cv2.COLOR_BGR2RGB)
+        bgr = cv2.imread(str(files[i]))
+        if bgr is None:  # corrupt sample: skip it, keep the panel alive
+            print(f"  skipping unreadable image {files[i].name}")
+            continue
+        hr = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         ch, cw = (hr.shape[0] // args.scale * args.scale,
                   hr.shape[1] // args.scale * args.scale)
         hr = hr[:ch, :cw]
@@ -137,6 +144,8 @@ def main() -> None:
             cv2.imwrite(str(out_dir / f"panel_{files[i].stem}_{region}.png"),
                         cv2.cvtColor(rows[-1], cv2.COLOR_RGB2BGR))
 
+    if not rows:
+        raise SystemExit("All sampled test images were unreadable; no panel")
     w = max(r.shape[1] for r in rows)
     rows = [np.pad(r, ((0, 4), (0, w - r.shape[1]), (0, 0))) for r in rows]
     panel = np.vstack(rows)

@@ -169,10 +169,10 @@ def evaluate_methods(inv, test_dir: Path, num_images: int, scale: int,
     from facesr.evaluation.batched import (
         make_predictor, sr_batched, synthesize_lr_batched)
     from facesr.evaluation.metrics import LPIPS
+    from facesr.data.dataset import _list_images
     from facesr.models.load import load_any_model
 
-    files = sorted(p for ext in ("png", "jpg", "jpeg", "bmp")
-                   for p in test_dir.glob(f"*.{ext}"))[:num_images]
+    files = (_list_images(test_dir) if test_dir.is_dir() else [])[:num_images]
     if not files:
         raise SystemExit(f"No test images in {test_dir}")
     print(f"\nEvaluating on {len(files)} images from {test_dir}")
@@ -225,10 +225,18 @@ def evaluate_methods(inv, test_dir: Path, num_images: int, scale: int,
 
     int8_rows = {}
     for stem, path in inv["models"].items():
-        model = load_any_model(str(path))
+        try:
+            model = load_any_model(str(path))
+        except Exception as e:
+            # A pass-through .fckpt that isn't an SR model (e.g. a
+            # vgg19/lpips conversion artifact dropped into --artifacts)
+            # gets the same SKIP-and-continue treatment as malformed .pth.
+            print(f"  SKIP {Path(path).name}: not a loadable SR model ({e})")
+            inv["skipped"].append(Path(path).name)
+            continue
         pred = make_predictor(model, max_batch=max_batch, dtype=None)
-        srs_f = sr_batched(model, lrs, predictor=pred)
-        srs = [(np.clip(s, 0, 1) * 255).round().astype(np.uint8) for s in srs_f]
+        # sr_batched already returns uint8 [0,255] images in input order.
+        srs = sr_batched(model, lrs, predictor=pred)
         rows[stem] = metrics_of(srs)
         sr_sets[stem] = srs
         print(f"  {stem}: {rows[stem]}")
@@ -238,9 +246,7 @@ def evaluate_methods(inv, test_dir: Path, num_images: int, scale: int,
                               if l.shape == lrs[0].shape])
             pred8 = make_predictor(model, max_batch=max_batch,
                                    dtype="int8_full", calibration=calib)
-            srs8_f = sr_batched(model, lrs, predictor=pred8)
-            srs8 = [(np.clip(s, 0, 1) * 255).round().astype(np.uint8)
-                    for s in srs8_f]
+            srs8 = sr_batched(model, lrs, predictor=pred8)
             agree = float(np.mean([
                 peak_signal_noise_ratio(a, b, data_range=255)
                 for a, b in zip(srs, srs8)]))
@@ -260,9 +266,11 @@ def evaluate_methods(inv, test_dir: Path, num_images: int, scale: int,
 
     weights = None
     try:
+        # Returns None when weights are absent; raises only on structurally
+        # broken weight files — report those as a note, not a crash.
         weights = load_inception_weights()
-    except FileNotFoundError as e:
-        fid_note = str(e)
+    except Exception as e:
+        fid_note = f"FID backend weights unloadable: {e}"
     if weights is not None:
         from facesr.evaluation.fid import inception_activations, fid_from_activations
 

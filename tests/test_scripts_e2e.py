@@ -418,6 +418,46 @@ def test_validate_parity_harness_e2e(tmp_path):
     assert [(e["row"], e["metric"]) for e in fails] == [("Bicubic", "psnr")]
 
 
+def test_validate_parity_model_row_not_binarized(tmp_path):
+    """Regression: evaluate_methods must consume sr_batched's uint8 output
+    as-is. A re-scaling bug (clip(uint8, 0, 1) * 255) binarized every model
+    row to {0, 255} (~6 dB PSNR) while the --emit-targets self-consistency
+    e2e still passed. At init FaceEnhanceNet's SR equals the bicubic
+    upsample (guarded parity invariant), so its harness row must track the
+    cv2-Bicubic baseline row — impossible on binarized images."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_validate_parity_mod", REPO / "scripts" / "validate_parity.py")
+    vp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vp)
+
+    from facesr.ckpt import save_model
+    from facesr.models import face_enhance_net as fen
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    cfg = fen.FaceEnhanceNetConfig(num_channels=16, num_groups=1,
+                                   blocks_per_group=2)
+    model = fen.FaceEnhanceNet(cfg)
+    save_model(str(art / "init_model.fckpt"), model.params, cfg, "custom")
+
+    test_dir = tmp_path / "hr"
+    test_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(test_dir / f"im_{i}.png"),
+                    cv2.GaussianBlur(img, (11, 11), 3))
+
+    inv = vp.discover_and_convert(art, tmp_path / "conv")
+    rows, _, _ = vp.evaluate_methods(
+        inv, test_dir, num_images=3, scale=4, int8=False, calibrate=0,
+        max_batch=4)
+    assert abs(rows["init_model"]["psnr"] - rows["Bicubic"]["psnr"]) < 3.0
+    assert rows["init_model"]["ssim"] > 0.5
+
+
 def test_validate_parity_unmatched_model_fails():
     """A model row whose name matches no target must fail loudly (NO_TARGET),
     never silently become all-INFO and print PASS (self-review r3)."""
