@@ -49,6 +49,12 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
 
 def fid_from_activations(act1: np.ndarray, act2: np.ndarray) -> float:
     """FID between two activation sets [N, D]."""
+    if act1.shape[0] < 2 or act2.shape[0] < 2:
+        # np.cov squeezes a (1, D) matrix to a scalar, which would crash
+        # eigh with an error that never mentions the real cause
+        raise ValueError(
+            f"FID needs >=2 images per set to estimate covariances "
+            f"(got {act1.shape[0]} vs {act2.shape[0]})")
     mu1, mu2 = act1.mean(axis=0), act2.mean(axis=0)
     s1 = np.cov(act1, rowvar=False)
     s2 = np.cov(act2, rowvar=False)
@@ -77,7 +83,9 @@ def inception_activations(images: List[np.ndarray], weights: Dict,
             arr = arr.astype(np.float32) / 255.0
         arr = arr.astype(np.float32)
         if arr.ndim == 2:
-            arr = np.repeat(arr[..., None], 3, axis=-1)
+            arr = arr[..., None]
+        if arr.ndim == 3 and arr.shape[-1] == 1:  # grayscale, incl. (H, W, 1)
+            arr = np.repeat(arr, 3, axis=-1)
         return arr
 
     outs = []

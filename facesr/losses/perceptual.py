@@ -78,7 +78,9 @@ def perceptual_loss(
                          f"use 'l1' or 'l2'")
     dist = lambda a, b: (l1_loss if criterion == "l1" else l2_loss)(
         a.astype(jnp.float32), b.astype(jnp.float32))
-    weights = weights or {l: 1.0 for l in layers}
+    # `weights or ...` would also replace an explicitly-passed empty dict
+    # (zero perceptual contribution) with full-strength all-1.0 weights
+    weights = weights if weights is not None else {l: 1.0 for l in layers}
     idxs = [vgg.LAYER_MAP[l] for l in layers]
     if dtype is not None:
         pred = pred.astype(dtype)

@@ -70,6 +70,10 @@ def resize_matrix(in_size: int, out_size: int, method: str = "bicubic") -> np.nd
     itself at 0 (PyTorch's `area_pixel_compute_source_index`); `nearest` is
     PyTorch's legacy nearest (floor(i * in/out)).
     """
+    if method not in ("bicubic", "bilinear", "nearest"):
+        # validate BEFORE the same-size identity shortcut, or a typo'd
+        # method is silently accepted whenever the sizes happen to match
+        raise ValueError(f"Unknown resize method: {method}")
     mat = np.zeros((out_size, in_size), dtype=np.float64)
     if in_size == out_size:
         np.fill_diagonal(mat, 1.0)

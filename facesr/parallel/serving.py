@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+from collections import OrderedDict
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -297,14 +298,23 @@ class SpatialPredictor:
         self._forward, self._host_params = build_serving_fn(
             model.apply_fn, model.params, dtype=dtype,
             calibration=calibration, quant_cache=quant_cache, max_batch=1)
-        self._by_n: dict = {}  # n_devices_used -> (jitted fwd, params, sharding)
+        self._by_n: dict = {}  # n_devices_used -> (jitted fwd, sub-mesh, sharding)
+        # Device-resident params per n, LRU-bounded: device 0 belongs to
+        # every sub-mesh prefix, so caching a replication per distinct n
+        # would stack up to n_devices params copies in its HBM on
+        # shape-diverse workloads. Compiled programs stay cached (compiles
+        # are expensive); re-replicating params on an evicted n is one
+        # small host->device transfer.
+        self._params_by_n: "OrderedDict[int, object]" = OrderedDict()
+        self._params_cache_size = 2
         self._warned_h: set = set()  # H values already warned about
 
     def _plan(self, h: int):
         n = self.n_devices
         while h % n:
             n -= 1
-        if n < self.n_devices and h not in self._warned_h:
+        if (n < self.n_devices and h not in self._warned_h
+                and len(self._warned_h) < 256):
             # loud, else a prime H silently serves single-chip (VERDICT r2)
             self._warned_h.add(h)
             print(f"SpatialPredictor: H={h} not divisible by the "
@@ -319,8 +329,15 @@ class SpatialPredictor:
             fwd = jax.jit(self._forward,
                           in_shardings=(replicated(sub), sh),
                           out_shardings=sh)
-            self._by_n[n] = (fwd, replicate(self._host_params, sub), sh)
-        return self._by_n[n]
+            self._by_n[n] = (fwd, sub, sh)
+        fwd, sub, sh = self._by_n[n]
+        if n in self._params_by_n:
+            self._params_by_n.move_to_end(n)
+        else:
+            self._params_by_n[n] = replicate(self._host_params, sub)
+            while len(self._params_by_n) > self._params_cache_size:
+                self._params_by_n.popitem(last=False)
+        return fwd, self._params_by_n[n], sh
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         """NHWC float batch (usually N=1) -> SR batch, rows sharded over

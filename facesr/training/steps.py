@@ -314,6 +314,11 @@ def make_eval_step(
     def eval_step(state: TrainState, hr: jax.Array):
         hr = hr.astype(jnp.float32)
         lr_img = bicubic_down(hr, scale_factor)
+        if use_ema and state.ema_params is None:
+            raise ValueError(
+                "make_eval_step(use_ema=True) on a TrainState without EMA "
+                "weights (ema_params is None — restored from a non-EMA "
+                "run?); build the step with use_ema=False")
         params = state.ema_params if use_ema else state.params
         sr = model_apply(params, lr_img, train=False, dtype=None)
         loss, _ = loss_apply(state.loss_params, sr, hr)

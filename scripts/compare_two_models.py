@@ -281,8 +281,12 @@ def main():
         from facesr.evaluation.fid import fid_from_activations
 
         real = np.concatenate(hr_acts, axis=0)
-        fid_values = {name: fid_from_activations(
-            np.concatenate(fid_acts[name], axis=0), real) for name in methods}
+        try:
+            fid_values = {name: fid_from_activations(
+                np.concatenate(fid_acts[name], axis=0), real)
+                for name in methods}
+        except ValueError as e:  # e.g. <2 images: keep the PSNR/SSIM table
+            print(f"Warning: FID column unavailable ({e})")
 
     # Summary
     has_lpips = lpips_fn.available

@@ -43,6 +43,29 @@ def test_fid_from_activations_gaussians():
     assert fid_from_activations(a, a) < 1e-9
 
 
+def test_fid_single_image_set_raises_actionably():
+    """np.cov squeezes a (1, D) set to a scalar; without the guard the
+    failure is an opaque eigh LinAlgError that never mentions N<2."""
+    rng = np.random.default_rng(2)
+    one = rng.normal(size=(1, 8))
+    many = rng.normal(size=(16, 8))
+    with pytest.raises(ValueError, match=">=2 images"):
+        fid_from_activations(one, many)
+    with pytest.raises(ValueError, match=">=2 images"):
+        fid_from_activations(many, one)
+
+
+def test_inception_activations_accepts_hwc1_grayscale():
+    """(H, W, 1) single-channel images are expanded to 3 channels like the
+    ndim==2 grayscale case, instead of crashing the conv stem."""
+    weights = inception.init_random_inception(jax.random.PRNGKey(0))
+    imgs = [np.zeros((32, 32, 1), np.uint8), np.zeros((32, 32), np.uint8),
+            np.zeros((32, 32, 3), np.uint8)]
+    acts = inception_activations(imgs, weights, batch_size=3)
+    assert acts.shape == (3, 2048)
+    np.testing.assert_allclose(acts[0], acts[1], rtol=1e-5, atol=1e-5)
+
+
 def test_architecture_invariants():
     # InceptionV3's feature extractor has exactly 94 BasicConv2d modules.
     assert len(inception.CONV_SPECS) == 94

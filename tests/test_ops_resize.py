@@ -119,3 +119,14 @@ def test_resize_matrix_golden_checksums():
         assert abs(float(m.sum()) - row_sum) < 1e-3
         assert abs(float(np.abs(m).sum()) - l1) < 1e-3
         np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_resize_matrix_unknown_method_raises_even_same_size():
+    """Method validation must precede the same-size identity shortcut, or a
+    typo'd method is silently accepted whenever sizes happen to match."""
+    from facesr.ops import resize_matrix
+
+    with pytest.raises(ValueError, match="Unknown resize method"):
+        resize_matrix(64, 64, "blinear")
+    with pytest.raises(ValueError, match="Unknown resize method"):
+        resize_matrix(64, 128, "blinear")
