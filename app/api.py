@@ -37,12 +37,6 @@ import numpy as np
 import cv2
 
 
-def _load_calibration_images(calib_dir: str, size: int = 64, limit: int = 64):
-    from facesr.parallel.serving import load_calibration_images
-
-    return load_calibration_images(calib_dir, size=size, limit=limit)
-
-
 class SRService:
     """Loads models once; thread-safe inference (jitted fns are reentrant)."""
 
@@ -100,18 +94,8 @@ class SRService:
         # back into device-count-sized forwards
         mb = (max_batch or 4 * n) if batch_window_ms > 0 else 0
         if dtype and dtype != "f32":
-            import jax.numpy as jnp
-            from facesr.parallel.serving import (ShardedPredictor,
-                                                 per_model_quant_cache)
+            from app.demo import wrap_predictors
 
-            calibration = None
-            if calib_dir and dtype == "int8_full":
-                calibration = _load_calibration_images(calib_dir)
-            jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
-            # calibration artifacts only exist on the int8_full path —
-            # plumbing them elsewhere would just trigger the loud
-            # ignored-arguments warning per model
-            qc = quant_cache if dtype == "int8_full" else None
             # Under micro-batching, cohorts arrive at every size up to mb;
             # without remainder sizes the predictor pads each one to its
             # full compiled batch, so a lone request pays an mb-sized
@@ -124,14 +108,10 @@ class SRService:
             while mb and s < pmb:
                 rs.append(s)
                 s *= 2
-            self.predictors = {
-                name: ShardedPredictor(
-                    m, dtype=jdtype, max_batch=pmb,
-                    remainder_sizes=tuple(rs),
-                    calibration=calibration,
-                    quant_cache=per_model_quant_cache(qc, name))
-                for name, m in self.models.items()
-            }
+            self.predictors = wrap_predictors(
+                self.models, dtype=dtype, calib_dir=calib_dir,
+                quant_cache=quant_cache, max_batch=pmb,
+                remainder_sizes=tuple(rs))
         if batch_window_ms > 0:
             import jax.numpy as jnp
             from facesr.parallel.serving import MicroBatcher
@@ -234,11 +214,18 @@ def make_handler(service: SRService):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _json(self, code: int, obj) -> None:
+        def _json(self, code: int, obj, close: bool = False) -> None:
+            # close=True: the request body was never drained (wrong path /
+            # missing length), so the next keep-alive request on this
+            # connection would be parsed out of the leftover bytes —
+            # close instead of desyncing.
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if close:
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
@@ -270,12 +257,13 @@ def make_handler(service: SRService):
         def do_POST(self):
             path = urlparse(self.path).path
             if path != "/super-resolve":
-                self._json(404, {"error": f"unknown path {path}"})
+                self._json(404, {"error": f"unknown path {path}"}, close=True)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
-                    self._json(400, {"error": "empty body; POST image bytes"})
+                    self._json(400, {"error": "empty body; POST image bytes"},
+                               close=True)
                     return
                 body = self.rfile.read(length)
                 q = parse_qs(urlparse(self.path).query)

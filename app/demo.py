@@ -85,12 +85,15 @@ def _assemble_models(checkpoint_dir: str, dtype: str = None,
 
 
 def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
-                    quant_cache: str = None, max_batch: int = 8) -> dict:
+                    quant_cache: str = None, max_batch: int = 8,
+                    remainder_sizes: tuple = ()) -> dict:
     """Route every model through ShardedPredictor when a serving dtype is
-    requested — the same production path app/api.py serves (bf16 / int8
-    weight-only / int8_full with optional static-scale calibration). The
-    reference demo only ever serves raw f32 (app/demo.py:268-359); here the
-    demo can exercise the deployed quantized path."""
+    requested — the single quantized-serving assembly (bf16 / int8
+    weight-only / int8_full with optional static-scale calibration) shared
+    by this demo and app/api.py's SRService. The reference demo only ever
+    serves raw f32 (app/demo.py:268-359); here the demo can exercise the
+    deployed quantized path. `remainder_sizes` is the API's pow2 cohort
+    ladder (passed through to ShardedPredictor)."""
     if not dtype or dtype == "f32":
         return models
     from facesr.parallel.serving import (ShardedPredictor,
@@ -103,9 +106,13 @@ def wrap_predictors(models: dict, dtype: str = None, calib_dir: str = None,
     if calib_dir and dtype == "int8_full":
         calibration = load_calibration_images(calib_dir)
     jdtype = dtype if dtype.startswith("int8") else jnp.bfloat16
+    # calibration/quant-cache artifacts only exist on the int8_full path —
+    # plumbing them elsewhere would trigger the loud ignored-arguments
+    # warning per model
     return {
         name: ShardedPredictor(
             m, dtype=jdtype, max_batch=max_batch, calibration=calibration,
+            remainder_sizes=remainder_sizes,
             quant_cache=per_model_quant_cache(
                 quant_cache if dtype == "int8_full" else None, name))
         for name, m in models.items()

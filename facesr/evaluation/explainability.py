@@ -228,6 +228,12 @@ def create_attention_report(
 
     x = jnp.asarray(lr_image[None] if lr_image.ndim == 3 else lr_image, jnp.float32)
     summary = AttentionExtractor(model).summary(x)
+    if not summary:
+        raise ValueError(
+            f"{type(model).__name__} exposes no SE attention maps — the "
+            "attention report needs a channel-attention model "
+            "(FaceEnhanceNet); Grad-CAM panels were still written to "
+            f"{out}")
     report = {
         "target_layer": target_layer,
         "attention_summary": summary,

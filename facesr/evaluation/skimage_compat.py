@@ -80,15 +80,21 @@ def structural_similarity(im1: np.ndarray, im2: np.ndarray,
         raise ValueError(
             "3-D input without channel_axis: pass channel_axis=-1 for "
             "multichannel SSIM (volumetric SSIM is not implemented)")
-    if min(im1.shape[0], im1.shape[1]) < win_size or win_size < 3:
-        # mirror skimage's loud failure instead of a NaN from an
-        # empty-crop mean
-        raise ValueError(
-            f"win_size={win_size} exceeds image extent {im1.shape[:2]} "
-            f"(or is < 3); use larger images or a smaller odd win_size")
+    if win_size < 3 or win_size % 2 == 0:
+        # skimage raises on even windows; accepting one here would crop
+        # asymmetrically and silently drift from the library
+        raise ValueError(f"win_size={win_size} must be an odd value >= 3")
     if channel_axis is not None:
         im1 = np.moveaxis(im1, channel_axis, -1)
         im2 = np.moveaxis(im2, channel_axis, -1)
+    if min(im1.shape[0], im1.shape[1]) < win_size:
+        # validated AFTER moveaxis so channel_axis=0 (CHW) inputs are
+        # measured on their spatial dims; mirrors skimage's loud failure
+        # instead of a NaN from an empty-crop mean
+        raise ValueError(
+            f"win_size={win_size} exceeds image extent "
+            f"{im1.shape[:2]}; use larger images or a smaller odd win_size")
+    if channel_axis is not None:
         vals = [
             _ssim_single_channel(im1[..., c], im2[..., c], win_size, data_range)
             for c in range(im1.shape[-1])

@@ -47,6 +47,12 @@ def tensor_to_image(tensor) -> np.ndarray:
     return arr
 
 
+def _imshow(ax, img: np.ndarray) -> None:
+    # single-channel images come out of tensor_to_image as 2-D; without an
+    # explicit cmap matplotlib false-colors them with viridis
+    ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+
+
 def create_comparison_grid(
     images: Dict[str, np.ndarray],
     save_path: Optional[str] = None,
@@ -59,7 +65,7 @@ def create_comparison_grid(
     if n == 1:
         axes = [axes]
     for ax, (name, img) in zip(axes, images.items()):
-        ax.imshow(tensor_to_image(img))
+        _imshow(ax, tensor_to_image(img))
         ax.set_title(name)
         ax.axis("off")
     fig.suptitle(title)
@@ -96,11 +102,11 @@ def create_zoom_comparison(
     for col, (name, img) in enumerate(images.items()):
         img = tensor_to_image(img)
         sy, sx = img.shape[0] / H, img.shape[1] / W
-        axes[0, col].imshow(img)
+        _imshow(axes[0, col], img)
         axes[0, col].set_title(name)
         axes[0, col].axis("off")
         ys, xs, hs, ws = int(y * sy), int(x * sx), int(h * sy), int(w * sx)
-        axes[1, col].imshow(img[ys:ys + hs, xs:xs + ws])
+        _imshow(axes[1, col], img[ys:ys + hs, xs:xs + ws])
         axes[1, col].set_title(f"{name} (zoom)")
         axes[1, col].axis("off")
     fig.suptitle(title)

@@ -129,6 +129,10 @@ def extract_features(
         x = (x - mean) / std
 
     wanted = set(int(i) for i in layer_indices)
+    if not wanted:
+        raise ValueError(
+            "extract_features needs at least one layer index (empty "
+            "perceptual_layers? drop the perceptual term instead)")
     max_idx = max(wanted)
     feats: Dict[int, jax.Array] = {}
     for idx, kind, conv_no in module_sequence():

@@ -184,7 +184,10 @@ class LRWarmup:
     Compose with an epoch schedule: lr = warmup(step) * schedule(epoch)/base.
     """
 
-    def __init__(self, base_lr: float, warmup_steps: int = 500, start_lr: float = 0.0):
+    # start_lr default matches the reference's initial_lr=1e-7
+    # (callbacks.py:257) — a 0.0 default would make step 0 a dead no-op
+    def __init__(self, base_lr: float, warmup_steps: int = 500,
+                 start_lr: float = 1e-7):
         self.base_lr = base_lr
         self.warmup_steps = warmup_steps
         self.start_lr = start_lr

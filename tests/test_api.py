@@ -74,6 +74,48 @@ def test_error_paths(server):
     assert status == 404
 
 
+def test_keepalive_survives_undrained_error_responses(server):
+    """Error responses that never read the request body (404 wrong path,
+    400 missing length) must not leave those bytes on a keep-alive
+    connection — the server closes it instead of parsing the leftover
+    image bytes as the next request line."""
+    rng = np.random.default_rng(4)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", img)
+    body = png.tobytes()
+
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=60)
+    try:
+        conn.request("POST", "/superresolve", body=body)  # typo'd path
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert resp.getheader("Connection") == "close"
+        resp.read()
+        # a correct follow-up on a FRESH connection round-trips fine
+        # (http.client reopens automatically after a closed response)
+        conn.request("POST", "/super-resolve", body=body)
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200
+        out = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        assert out.shape == (256, 256, 3)
+    finally:
+        conn.close()
+
+    # the happy path still keeps the connection alive: two POSTs through
+    # ONE connection, no Connection: close
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=60)
+    try:
+        for _ in range(2):
+            conn.request("POST", "/super-resolve", body=body)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Connection") != "close"
+            resp.read()
+    finally:
+        conn.close()
+
+
 def test_api_int8_full_calibrated_serving(tmp_path):
     # --dtype int8_full --calib-dir calibrates static activation scales from
     # images on disk, then serves through the s8 conv path.

@@ -61,10 +61,11 @@ def test_metric_logger(tmp_path):
 
 def test_lr_warmup():
     w = LRWarmup(base_lr=1e-3, warmup_steps=100)
-    assert w(0) == 0.0
-    assert abs(w(50) - 5e-4) < 1e-12
+    assert w(0) == 1e-7  # reference initial_lr (callbacks.py:257), not 0.0
+    assert abs(w(50) - (1e-7 + (1e-3 - 1e-7) * 0.5)) < 1e-12
     assert w(100) == 1e-3
     assert w(1000) == 1e-3
+    assert LRWarmup(base_lr=1e-3, warmup_steps=100, start_lr=0.0)(0) == 0.0
 
 
 def test_grid_search_run_and_resume(tmp_path):

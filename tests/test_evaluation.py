@@ -58,6 +58,17 @@ def test_skimage_ssim_properties():
     s_far = structural_similarity(a, other, data_range=255, channel_axis=-1)
     assert 0 < s_far < s_near < 1
 
+    # channel_axis=0 (CHW) measures the SPATIAL dims against win_size —
+    # a 3x64x64 image must not be rejected as "3 < 7" — and matches HWC
+    chw = structural_similarity(np.moveaxis(a, -1, 0), np.moveaxis(noisy, -1, 0),
+                                data_range=255, channel_axis=0)
+    assert abs(chw - s_near) < 1e-12
+    # even windows drift from skimage (asymmetric crop) — reject like it does
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="odd"):
+        structural_similarity(a, noisy, data_range=255, channel_axis=-1,
+                              win_size=8)
+
 
 def test_metric_calculator_and_dataset_eval():
     calc = MetricCalculator()
